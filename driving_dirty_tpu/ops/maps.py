@@ -1,0 +1,136 @@
+"""BEV map conversions, box rasterization, and the square camera layout.
+
+Replaces (a) the ego-map converters (/root/reference/src/utils/helper.py:10-20),
+(b) the PIL-based box rasterizer (/root/reference/src/utils/bb_to_img.py:5-21),
+and (c) the `layout_images_as_map` helper that the reference imports but never
+defines (/root/reference/src/bounding_box_model/fast_rcnn/bb_fast_rcnn.py:100,
+bb_fast_rcnn_w_map.py:117 — absent from the snapshot, reconstructed here from
+the FinalReport §2 spec: the six views are rotated/flipped to face outward and
+tiled into one square BEV-layout image).
+
+The rasterizer is the TPU-first piece: the reference produces *training
+targets* on the host with PIL's C scanline fill inside a Python loop per box;
+here it is a vectorized point-in-polygon test evaluated on the 800x800 grid on
+device, so target generation fuses into the compiled train step. A PIL-exact
+host fallback lives in driving_dirty_tpu/utils/raster_pil.py for parity tests.
+"""
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+MAP_SIZE = 800
+
+
+def convert_map_to_road_map(ego_map):
+    """[3, H, W] (CHW, floats in [0,1]) -> [H, W] bool; road = NOT pure-white.
+
+    Parity with /root/reference/src/utils/helper.py:17-20.
+    """
+    mask = (ego_map[0] == 1) & (ego_map[1] == 1) & (ego_map[2] == 1)
+    return ~mask
+
+
+def convert_map_to_lane_map(ego_map, binary_lane: bool = True):
+    """Lane mask = NOT (grayscale or 250/255-valued) pixels.
+
+    Parity with /root/reference/src/utils/helper.py:10-15, including the
+    `+` (logical OR on bools) combination.
+    """
+    mask = ((ego_map[0] == ego_map[1]) & (ego_map[1] == ego_map[2])) | (ego_map[0] == 250 / 255)
+    if binary_lane:
+        return ~mask
+    return ego_map * (~mask)[None]
+
+
+def boxes_to_binary_map(boxes_m, valid=None, size: int = MAP_SIZE):
+    """Rasterize [N, 2, 4] meter-space boxes into a [size, size] {0,1} map.
+
+    Behavioral parity with /root/reference/src/utils/bb_to_img.py:5-21: corners
+    are reordered [fl, fr, br, bl] into a closed quad, scaled px = m*10 + 400,
+    filled, then the row axis is flipped. `valid` is an optional [N] bool mask
+    (padded fixed-shape batches; padded rows contribute nothing).
+
+    Device-side algorithm: each box contributes the set of pixels whose
+    (col, row) center lies inside its (convex) quad, computed as four
+    half-plane tests against a sign convention derived from the quad's own
+    orientation. vmapped over boxes, OR-reduced, fully fixed-shape.
+    """
+    pts_x = boxes_m[:, 0, :] * 10.0 + 400.0  # [N, 4] in corner order fl,fr,bl,br
+    pts_y = boxes_m[:, 1, :] * 10.0 + 400.0
+    order = jnp.array([0, 1, 3, 2])  # -> fl, fr, br, bl (convex ring)
+    px = pts_x[:, order]
+    py = pts_y[:, order]
+
+    cols = jax.lax.broadcasted_iota(jnp.float32, (size, size), 1)
+    rows = jax.lax.broadcasted_iota(jnp.float32, (size, size), 0)
+
+    def one_box(bx, by):
+        # Edge i: (bx[i],by[i]) -> (bx[i+1],by[i+1]); point is inside when all
+        # cross products share the polygon's orientation sign.
+        nbx = jnp.roll(bx, -1)
+        nby = jnp.roll(by, -1)
+        ex = nbx - bx  # [4]
+        ey = nby - by
+        # orientation via signed area (shoelace); degenerate (zero-area) quads
+        # — e.g. all-zero padding rows — must contribute nothing, otherwise
+        # their half-plane tests are vacuously true and fill the whole map.
+        area2 = jnp.sum(bx * nby - nbx * by)
+        sign = jnp.where(area2 >= 0, 1.0, -1.0)
+        nondegenerate = jnp.abs(area2) > 1e-6
+        # cross[e, i, j] = ex[e]*(rows - by[e]) - ey[e]*(cols - bx[e])
+        cross = (
+            ex[:, None, None] * (rows[None] - by[:, None, None])
+            - ey[:, None, None] * (cols[None] - bx[:, None, None])
+        )
+        return jnp.all(sign * cross >= 0.0, axis=0) & nondegenerate
+
+    masks = jax.vmap(one_box)(px, py)  # [N, size, size]
+    if valid is not None:
+        masks = masks & valid[:, None, None]
+    out = jnp.any(masks, axis=0)
+    return jnp.flip(out, axis=0).astype(jnp.float32)
+
+
+def layout_images_as_map(x, size: int = MAP_SIZE):
+    """Arrange six camera views [b, 6, H, W, C] into a square [b, size, size, C]
+    BEV-layout image.
+
+    Reconstruction of the missing `helper.layout_images_as_map`
+    (/root/reference/src/bounding_box_model/fast_rcnn/bb_fast_rcnn.py:100).
+    Design follows the only in-repo precedent for a camera->BEV square layout,
+    SpatialMappingCNN's grid
+    (/root/reference/src/bounding_box_model/spatial_bb/components.py:28-77):
+
+        BL FL
+        B  F
+        BR FR
+
+    with CAM_BACK/CAM_FRONT rotated 90deg (outward-facing) and the right-side
+    cameras flipped, matching that module's rot90/flip choices. Each oriented
+    view is bilinearly resized into its grid cell. Fully vectorized; the
+    resizes compile to XLA gathers.
+    """
+    b, v, h, w, c = x.shape
+    fl, f, fr, bl, bk, br = (x[:, i] for i in range(6))
+    # rot90(b, 1, [2,3]) on NCHW == CCW rotation in (H, W): NHWC axes (1, 2)
+    bk = jnp.rot90(bk, k=1, axes=(1, 2))
+    f = jnp.rot90(f, k=1, axes=(2, 1))
+    br = jnp.flip(br, axis=(1, 2))
+    fr = jnp.flip(fr, axis=(1, 2))
+
+    rows = 3
+    cell_h = size // rows  # 266 (last row padded to 268 to reach 800)
+    cell_w = size // 2
+
+    def fit(img, th, tw):
+        return jax.image.resize(img, (b, th, tw, c), method="linear")
+
+    heights = [cell_h, cell_h, size - 2 * cell_h]
+    grid = [[bl, fl], [bk, f], [br, fr]]
+    out_rows = []
+    for r in range(rows):
+        left = fit(grid[r][0], heights[r], cell_w)
+        right = fit(grid[r][1], heights[r], cell_w)
+        out_rows.append(jnp.concatenate([left, right], axis=2))
+    return jnp.concatenate(out_rows, axis=1)
