@@ -1,0 +1,208 @@
+"""Autoencoder components: DenseBlock, Encoder, Decoder.
+
+TPU-native re-design of /root/reference/src/autoencoder/components.py.
+Architecture (layer configs, derived dims, the flatten+max_pool1d(4) trick,
+c3-only backbone tap) is preserved exactly so reference checkpoints import and
+reproduce outputs; the *implementation* is NHWC pytree-functional:
+
+  * init-time shape inference uses `jax.eval_shape` (zero FLOPs) instead of
+    the reference's `torch.rand` dummy forwards (components.py:33-38, 75-83);
+  * the flatten before pooling follows torch's NCHW contiguity (transpose to
+    [b, C, H, W] first) so imported fc1 weights line up
+    (SURVEY.md hard-part 2);
+  * BatchNorm state and dropout RNG are threaded explicitly; freeze/unfreeze
+    is the optimizer's job (masking), not the module's.
+
+All `apply` functions have signature (variables, x, *, train, rng) ->
+(out, new_state) where variables = {"params": ..., "state": ...}.
+"""
+from __future__ import annotations
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+
+from driving_dirty_tpu.core import layers as L
+
+
+def _split(key, n):
+    return jax.random.split(key, n)
+
+
+@dataclasses.dataclass(frozen=True)
+class DenseBlock:
+    """Linear -> BatchNorm -> ReLU -> Dropout(p=0.2)
+    (/root/reference/src/autoencoder/components.py:96-109)."""
+
+    in_dim: int
+    out_dim: int
+    drop_p: float = 0.2
+
+    def init(self, key):
+        k1, k2 = _split(key, 2)
+        lin = L.Linear(self.in_dim, self.out_dim)
+        bn = L.BatchNorm(self.out_dim)
+        return (
+            {"fc": lin.init(k1), "bn": bn.init(k2)},
+            {"bn": bn.init_state()},
+        )
+
+    def apply(self, params, state, x, *, train: bool, rng):
+        lin = L.Linear(self.in_dim, self.out_dim)
+        bn = L.BatchNorm(self.out_dim)
+        x = lin.apply(params["fc"], x)
+        x, bn_state = bn.apply(params["bn"], state["bn"], x, train=train)
+        x = jax.nn.relu(x)
+        x = L.dropout(rng, x, self.drop_p, train=train)
+        return x, {"bn": bn_state}
+
+
+@dataclasses.dataclass(frozen=True)
+class Encoder:
+    """Conv(3->32,k3,p1) x2 + Conv(32->32,k3,s2,p1), then flatten (NCHW order)
+    -> max-pool(4) over the flat vector -> DenseBlock x2 -> Linear(latent).
+
+    Parity target: /root/reference/src/autoencoder/components.py:6-52.
+    `c3_only=True` at call time returns the conv feature map (the backbone tap
+    used by the detection/spatial models, e.g. bb_fast_rcnn.py:51-56).
+    """
+
+    hidden_dim: int
+    latent_dim: int
+    in_channels: int = 3
+    input_height: int = 256
+    input_width: int = 306 * 6
+    pooling_size: int = 4
+
+    def _convs(self):
+        return (
+            L.Conv2d(self.in_channels, 32, 3, 1, 1),
+            L.Conv2d(32, 32, 3, 1, 1),
+            L.Conv2d(32, 32, 3, 2, 1),
+        )
+
+    def conv_out_dim(self) -> int:
+        """Flattened-and-pooled conv output size, via jax.eval_shape (replaces
+        the reference's dummy forward, components.py:33-38)."""
+        c1, c2, c3 = self._convs()
+
+        def stack(x):
+            p = {
+                "w": jnp.zeros((3, 3, self.in_channels, 32)),
+                "b": jnp.zeros((32,)),
+            }
+            p2 = {"w": jnp.zeros((3, 3, 32, 32)), "b": jnp.zeros((32,))}
+            return c3.apply(p2, c2.apply(p2, c1.apply(p, x)))
+
+        shape = jax.eval_shape(
+            stack, jax.ShapeDtypeStruct((1, self.input_height, self.input_width, self.in_channels), jnp.float32)
+        ).shape
+        flat = shape[1] * shape[2] * shape[3]
+        return flat // self.pooling_size
+
+    def c3_shape(self):
+        """(H', W') of the c3 feature map (stride-2 halving with p1)."""
+        return ((self.input_height + 1) // 2, (self.input_width + 1) // 2)
+
+    def init(self, key):
+        c1, c2, c3 = self._convs()
+        cod = self.conv_out_dim()
+        fc1 = DenseBlock(cod, self.hidden_dim)
+        fc2 = DenseBlock(self.hidden_dim, self.hidden_dim)
+        fcz = L.Linear(self.hidden_dim, self.latent_dim)
+        k = _split(key, 6)
+        p_fc1, s_fc1 = fc1.init(k[3])
+        p_fc2, s_fc2 = fc2.init(k[4])
+        params = {
+            "c1": c1.init(k[0]),
+            "c2": c2.init(k[1]),
+            "c3": c3.init(k[2]),
+            "fc1": p_fc1,
+            "fc2": p_fc2,
+            "fc_z_out": fcz.init(k[5]),
+        }
+        state = {"fc1": s_fc1, "fc2": s_fc2}
+        return params, state
+
+    def apply(self, params, state, x, *, train: bool, rng, c3_only: bool = False):
+        c1, c2, c3 = self._convs()
+        x = jax.nn.relu(c1.apply(params["c1"], x))
+        x = jax.nn.relu(c2.apply(params["c2"], x))
+        x = jax.nn.relu(c3.apply(params["c3"], x))
+        if c3_only:
+            return x, state
+        # torch flattens NCHW-contiguously (components.py:46); match it so the
+        # imported fc1 weight ordering is identical.
+        b = x.shape[0]
+        x = jnp.transpose(x, (0, 3, 1, 2)).reshape(b, -1)
+        x = L.max_pool_flat(x, self.pooling_size)
+        r1, r2 = _split(rng, 2)
+        cod = self.conv_out_dim()
+        fc1 = DenseBlock(cod, self.hidden_dim)
+        fc2 = DenseBlock(self.hidden_dim, self.hidden_dim)
+        x, s1 = fc1.apply(params["fc1"], state["fc1"], x, train=train, rng=r1)
+        x, s2 = fc2.apply(params["fc2"], state["fc2"], x, train=train, rng=r2)
+        z = L.Linear(self.hidden_dim, self.latent_dim).apply(params["fc_z_out"], x)
+        return z, {"fc1": s1, "fc2": s2}
+
+
+@dataclasses.dataclass(frozen=True)
+class Decoder:
+    """DenseBlock(latent->hidden) -> DenseBlock(hidden->64*h'*w') -> reshape ->
+    ConvT(64->32,k3,p1) -> ConvT(32->32,k3,p1) -> ConvT(32->32,k2,s2) ->
+    ConvT(32->C,k1); no final sigmoid.
+
+    Parity target: /root/reference/src/autoencoder/components.py:55-93.
+    (h', w') mirrors the reference's probe conv stack: k1s1 (same) -> k2s2
+    (floor halve) -> k3p1 (same) -> k3p1 (same), i.e. (H//2, W//2).
+    """
+
+    hidden_dim: int
+    latent_dim: int
+    in_channels: int = 3
+    output_height: int = 256
+    output_width: int = 306
+
+    @property
+    def deconv_dims(self):
+        return ((self.output_height - 2) // 2 + 1, (self.output_width - 2) // 2 + 1)
+
+    def _deconvs(self):
+        return (
+            L.ConvTranspose2d(64, 32, 3, 1, 1),
+            L.ConvTranspose2d(32, 32, 3, 1, 1),
+            L.ConvTranspose2d(32, 32, 2, 2, 0),
+            L.ConvTranspose2d(32, self.in_channels, 1, 1, 0),
+        )
+
+    def init(self, key):
+        h, w = self.deconv_dims
+        fc1 = DenseBlock(self.latent_dim, self.hidden_dim)
+        fc2 = DenseBlock(self.hidden_dim, h * w * 64)
+        dcs = self._deconvs()
+        k = _split(key, 6)
+        p_fc1, s_fc1 = fc1.init(k[0])
+        p_fc2, s_fc2 = fc2.init(k[1])
+        params = {"fc1": p_fc1, "fc2": p_fc2}
+        for i, dc in enumerate(dcs, 1):
+            params[f"dc{i}"] = dc.init(k[1 + i])
+        return params, {"fc1": s_fc1, "fc2": s_fc2}
+
+    def apply(self, params, state, z, *, train: bool, rng):
+        h, w = self.deconv_dims
+        fc1 = DenseBlock(self.latent_dim, self.hidden_dim)
+        fc2 = DenseBlock(self.hidden_dim, h * w * 64)
+        r1, r2 = _split(rng, 2)
+        x, s1 = fc1.apply(params["fc1"], state["fc1"], z, train=train, rng=r1)
+        x, s2 = fc2.apply(params["fc2"], state["fc2"], x, train=train, rng=r2)
+        # torch reshapes to [b, 64, h, w] (components.py:88); keep that element
+        # order, then go NHWC for the TPU deconvs.
+        b = x.shape[0]
+        x = x.reshape(b, 64, h, w).transpose(0, 2, 3, 1)
+        dc1, dc2, dc3, dc4 = self._deconvs()
+        x = jax.nn.relu(dc1.apply(params["dc1"], x))
+        x = jax.nn.relu(dc2.apply(params["dc2"], x))
+        x = jax.nn.relu(dc3.apply(params["dc3"], x))
+        x = dc4.apply(params["dc4"], x)  # no sigmoid (components.py:92)
+        return x, {"fc1": s1, "fc2": s2}
