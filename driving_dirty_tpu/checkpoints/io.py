@@ -1,0 +1,125 @@
+"""Checkpoint save/restore: pytree of arrays + embedded hparams.
+
+Format: a single `.ckpt` file = np.savez archive holding every leaf under a
+flattened "section/path/to/leaf" key plus a JSON metadata entry (hparams,
+epoch, step, task name). Properties preserved from the reference's Lightning
+checkpoints (SURVEY.md §5.4):
+
+  * self-reconstruction: hparams are embedded, so `load(path)` alone is enough
+    for a downstream task to rebuild the producing model
+    (`BasicAE.load_from_checkpoint`, /root/reference/src/roadmap_model/roadmap_bce_v2.py:43);
+  * atomic writes (tmp + rename) for preemption safety (submit.py:65's
+    checkpoint-before-walltime behavior relies on ckpt integrity);
+  * keep-best (monitor val_loss) and keep-last files side by side.
+
+A separate module (torch_import.py) maps reference PyTorch `rm.ckpt` weights
+into this layout for output-parity runs.
+"""
+from __future__ import annotations
+
+import json
+import os
+import tempfile
+
+import numpy as np
+import jax
+
+_SEP = "/"
+_META_KEY = "__meta__"
+
+
+def _flatten(tree, prefix=""):
+    out = {}
+    if isinstance(tree, dict):
+        for k, v in tree.items():
+            out.update(_flatten(v, f"{prefix}{k}{_SEP}"))
+    elif isinstance(tree, (list, tuple)):
+        for i, v in enumerate(tree):
+            out.update(_flatten(v, f"{prefix}{i}{_SEP}"))
+    elif tree is None:
+        pass
+    else:
+        out[prefix[: -len(_SEP)]] = np.asarray(tree)
+    return out
+
+
+def _unflatten(flat):
+    root: dict = {}
+    for key, val in flat.items():
+        parts = key.split(_SEP)
+        node = root
+        for p in parts[:-1]:
+            node = node.setdefault(p, {})
+        node[parts[-1]] = val
+    return _listify(root)
+
+
+def _listify(node):
+    """Convert dicts whose keys are 0..n-1 strings back into lists."""
+    if not isinstance(node, dict):
+        return node
+    node = {k: _listify(v) for k, v in node.items()}
+    keys = list(node)
+    if keys and all(k.isdigit() for k in keys):
+        idx = sorted(int(k) for k in keys)
+        if idx == list(range(len(idx))):
+            return [node[str(i)] for i in idx]
+    return node
+
+
+def save(path, *, params, state=None, opt_state=None, hparams=None, meta=None):
+    """Atomically write a checkpoint. hparams: JSON-serializable dict/Namespace."""
+    params = jax.device_get(params)
+    payload = {"params": params}
+    if state is not None:
+        payload["state"] = jax.device_get(state)
+    if opt_state is not None:
+        payload["opt_state"] = jax.device_get(opt_state)
+    flat = _flatten(payload)
+    if hparams is not None and not isinstance(hparams, dict):
+        hparams = dict(vars(hparams))
+    meta_blob = json.dumps(
+        {"hparams": _jsonable(hparams), "meta": _jsonable(meta or {})}
+    )
+    flat[_META_KEY] = np.frombuffer(meta_blob.encode(), dtype=np.uint8)
+    os.makedirs(os.path.dirname(os.path.abspath(path)), exist_ok=True)
+    fd, tmp = tempfile.mkstemp(dir=os.path.dirname(os.path.abspath(path)), suffix=".tmp")
+    try:
+        with os.fdopen(fd, "wb") as f:
+            np.savez(f, **flat)
+        os.replace(tmp, path)
+    except BaseException:
+        if os.path.exists(tmp):
+            os.unlink(tmp)
+        raise
+    return path
+
+
+def _jsonable(obj):
+    if obj is None or isinstance(obj, (bool, int, float, str)):
+        return obj
+    if isinstance(obj, dict):
+        return {str(k): _jsonable(v) for k, v in obj.items()}
+    if isinstance(obj, (list, tuple)):
+        return [_jsonable(v) for v in obj]
+    if isinstance(obj, np.generic):
+        return obj.item()
+    if isinstance(obj, np.ndarray):
+        return obj.tolist()
+    return str(obj)
+
+
+def load(path):
+    """-> dict with 'params', optional 'state'/'opt_state', 'hparams', 'meta'."""
+    with np.load(path, allow_pickle=False) as z:
+        flat = {k: z[k] for k in z.files if k != _META_KEY}
+        meta = json.loads(bytes(z[_META_KEY].tobytes()).decode()) if _META_KEY in z.files else {}
+    tree = _unflatten(flat)
+    out = {
+        "params": tree.get("params", {}),
+        "state": tree.get("state"),
+        "opt_state": tree.get("opt_state"),
+        "hparams": meta.get("hparams"),
+        "meta": meta.get("meta", {}),
+    }
+    return out

@@ -1,0 +1,76 @@
+"""Shared CLI machinery: Lightning-compatible trainer flags + runner.
+
+Preserves the reference's argparse surface so existing scripts run unchanged
+on a TPU VM (BASELINE.json): every per-model script accepts the Trainer flags
+that Lightning 0.7.5's `Trainer.add_argparse_args` injected (--gpus,
+--max_epochs, --num_nodes, --precision, --resume_from_checkpoint, ...,
+SURVEY.md §5.6) plus the model-specific flags from `add_model_specific_args`.
+
+`--gpus N` is reinterpreted as "use N TPU devices" (a data-parallel mesh);
+`--num_nodes > 1` triggers jax.distributed initialization (DCN).
+"""
+from __future__ import annotations
+
+import argparse
+import random
+
+import numpy as np
+
+from driving_dirty_tpu.parallel import mesh as mesh_lib
+from driving_dirty_tpu.train.trainer import Trainer
+
+REFERENCE_SEED = 20200505  # every reference entry point seeds with this
+
+
+def add_trainer_args(parser: argparse.ArgumentParser) -> argparse.ArgumentParser:
+    g = parser.add_argument_group("trainer")
+    g.add_argument("--max_epochs", type=int, default=1000)
+    g.add_argument("--gpus", type=int, default=None,
+                   help="number of accelerator devices (TPU chips) to use")
+    g.add_argument("--num_nodes", type=int, default=1)
+    g.add_argument("--model_parallel", type=int, default=1,
+                   help="size of the 'model' mesh axis (shards the big heads)")
+    g.add_argument("--precision", type=int, default=32, choices=[16, 32],
+                   help="16 -> bfloat16 compute where supported")
+    g.add_argument("--resume_from_checkpoint", type=str, default=None)
+    g.add_argument("--default_root_dir", type=str, default="logs")
+    g.add_argument("--limit_train_batches", type=int, default=None)
+    g.add_argument("--limit_val_batches", type=int, default=None)
+    g.add_argument("--log_every_n_steps", type=int, default=50)
+    g.add_argument("--seed", type=int, default=REFERENCE_SEED)
+    g.add_argument("--profile_dir", type=str, default=None)
+    g.add_argument("--debug", action="store_true", help="enable jax debug_nans")
+    return parser
+
+
+def trainer_from_args(args) -> Trainer:
+    mesh_lib.initialize_distributed(getattr(args, "num_nodes", 1))
+    mesh = None
+    gpus = getattr(args, "gpus", None)
+    mp = getattr(args, "model_parallel", 1)
+    if (gpus is not None and gpus > 1) or mp > 1:
+        mesh = mesh_lib.build_mesh(gpus, mp)
+    return Trainer(
+        max_epochs=args.max_epochs,
+        default_root_dir=args.default_root_dir,
+        mesh=mesh,
+        limit_train_batches=args.limit_train_batches,
+        limit_val_batches=args.limit_val_batches,
+        log_every_n_steps=args.log_every_n_steps,
+        seed=args.seed,
+        profile_dir=args.profile_dir,
+        debug_nans=getattr(args, "debug", False),
+    )
+
+
+def run_task(task_cls, argv=None, description=None):
+    """Per-model __main__: parser = trainer args + model args -> fit."""
+    parser = argparse.ArgumentParser(description=description or task_cls.__name__)
+    parser = add_trainer_args(parser)
+    parser = task_cls.add_model_specific_args(parser)
+    args = parser.parse_args(argv)
+    random.seed(args.seed)
+    np.random.seed(args.seed)
+    task = task_cls(args)
+    trainer = trainer_from_args(args)
+    return trainer.fit(task, resume_from=args.resume_from_checkpoint)

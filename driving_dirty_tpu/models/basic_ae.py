@@ -1,0 +1,130 @@
+"""BasicAE: self-supervised six-to-one infill pretraining task.
+
+Task-module re-design of /root/reference/src/autoencoder/autoencoder.py
+(class BasicAE): stitch the six camera views into a 3x256x1836 panorama,
+black out one 306-wide view column, and reconstruct it through
+Encoder -> latent -> Decoder with MSE loss.
+
+Differences by design (TPU-first):
+  * the mask index is drawn on-device from the step RNG so the whole train
+    step is one compiled XLA program (reference draws host-side numpy per
+    step, autoencoder.py:60);
+  * hparams keep the reference's dual defaults: constructor fallbacks
+    hidden=128/latent=128 (autoencoder.py:32-43) vs CLI defaults hidden=256
+    (autoencoder.py:164);
+  * the never-mask-position-5 quirk is preserved (SURVEY.md §2.3) and
+    controllable via `mask_all_six`.
+"""
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from driving_dirty_tpu.data.dataset import (
+    NUM_SAMPLE_PER_SCENE,
+    UNLABELED_SCENES,
+    UnlabeledDataset,
+    scene_split,
+)
+from driving_dirty_tpu.data.pipeline import Loader
+from driving_dirty_tpu.nn.autoencoder import Decoder, Encoder
+from driving_dirty_tpu.ops.stitch import six_to_one_task
+from driving_dirty_tpu.train.task import Task, hp
+
+
+class BasicAE(Task):
+    name = "basic_ae"
+
+    def __init__(self, hparams=None):
+        super().__init__(hparams)
+        h = self.hparams
+        self.hidden_dim = hp(h, "hidden_dim", 128)
+        self.latent_dim = hp(h, "latent_dim", 128)
+        self.input_width = hp(h, "input_width", 306 * 6)
+        self.input_height = hp(h, "input_height", 256)
+        self.output_width = hp(h, "output_width", 306)
+        self.output_height = hp(h, "output_height", 256)
+        self.batch_size = hp(h, "batch_size", 16)
+        self.in_channels = hp(h, "in_channels", 3)
+        self.mask_all_six = hp(h, "mask_all_six", False)
+        self.encoder = Encoder(
+            self.hidden_dim, self.latent_dim, self.in_channels, self.input_height, self.input_width
+        )
+        self.decoder = Decoder(
+            self.hidden_dim, self.latent_dim, self.in_channels, self.output_height, self.output_width
+        )
+
+    # --- model -----------------------------------------------------------
+    def init(self, rng):
+        ke, kd = jax.random.split(rng)
+        pe, se = self.encoder.init(ke)
+        pd, sd = self.decoder.init(kd)
+        return {"encoder": pe, "decoder": pd}, {"encoder": se, "decoder": sd}
+
+    def forward(self, params, state, x, *, train: bool, rng):
+        """Full pretext forward: [b, 6, H, W, C] -> (y_hat, y, new_state)."""
+        k_mask, k_enc, k_dec = jax.random.split(rng, 3)
+        x_masked, y = six_to_one_task(
+            x, k_mask, num_maskable=6 if self.mask_all_six else 5
+        )
+        z, se = self.encoder.apply(
+            params["encoder"], state["encoder"], x_masked, train=train, rng=k_enc
+        )
+        y_hat, sd = self.decoder.apply(
+            params["decoder"], state["decoder"], z, train=train, rng=k_dec
+        )
+        return y_hat, y, {"encoder": se, "decoder": sd}
+
+    def loss(self, params, state, batch, rng, *, train: bool):
+        x = batch if not isinstance(batch, dict) else batch["images"]
+        y_hat, y, new_state = self.forward(params, state, x, train=train, rng=rng)
+        loss = jnp.mean((y - y_hat) ** 2)  # F.mse_loss (autoencoder.py:91)
+        return loss, (new_state, {})
+
+    # --- data ------------------------------------------------------------
+    def _datasets(self):
+        link = hp(self.hparams, "link", None)
+        sps = hp(self.hparams, "samples_per_scene", NUM_SAMPLE_PER_SCENE)
+        n_scenes = hp(self.hparams, "num_unlabeled_scenes", len(UNLABELED_SCENES))
+        train_idx, val_idx = scene_split(
+            UNLABELED_SCENES[:n_scenes], seed=hp(self.hparams, "seed", 20200505)
+        )
+        mk = lambda idx: UnlabeledDataset(link, idx, "sample", samples_per_scene=sps)
+        return mk(train_idx), mk(val_idx)
+
+    def train_loader(self):
+        tr, _ = self._datasets()
+        return Loader(tr, self.batch_size, shuffle=True, num_workers=4, drop_last=True)
+
+    def val_loader(self):
+        _, va = self._datasets()
+        return Loader(va, self.batch_size, shuffle=False, num_workers=4)
+
+    # --- logging ---------------------------------------------------------
+    def log_images(self, params, state, batch, rng, step_name):
+        x = batch if not isinstance(batch, dict) else batch["images"]
+        y_hat, y, _ = self.forward(params, state, x[:1], train=False, rng=rng)
+        return {
+            f"{step_name}_predicted_images": jnp.clip(y_hat[0], 0, 1),
+            f"{step_name}_target_images": y[0],
+        }
+
+    # --- CLI -------------------------------------------------------------
+    @staticmethod
+    def add_model_specific_args(parser):
+        # Flags and defaults per autoencoder.py:161-182 (CLI defaults differ
+        # from constructor fallbacks on hidden_dim: 256 vs 128).
+        parser.add_argument("--hidden_dim", type=int, default=256)
+        parser.add_argument("--latent_dim", type=int, default=128)
+        parser.add_argument("--learning_rate", type=float, default=1e-3)
+        parser.add_argument("--batch_size", type=int, default=16)
+        parser.add_argument("--input_width", type=int, default=306 * 6)
+        parser.add_argument("--input_height", type=int, default=256)
+        parser.add_argument("--output_width", type=int, default=306)
+        parser.add_argument("--output_height", type=int, default=256)
+        parser.add_argument("--in_channels", type=int, default=3)
+        parser.add_argument("--link", type=str, default="/scratch/ab8690/DLSP20Dataset/data")
+        parser.add_argument("--output_img_freq", type=int, default=500)
+        parser.add_argument("--samples_per_scene", type=int, default=NUM_SAMPLE_PER_SCENE)
+        parser.add_argument("--num_unlabeled_scenes", type=int, default=len(UNLABELED_SCENES))
+        return parser

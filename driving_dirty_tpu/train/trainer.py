@@ -1,0 +1,266 @@
+"""The training runtime: compiled fit/val loops over a device mesh.
+
+Replaces pytorch_lightning.Trainer (the reference's L5,
+invoked at every task's __main__, e.g.
+/root/reference/src/autoencoder/autoencoder.py:185-193) with a TPU-first loop:
+
+  * one jitted `train_step(params, opt_state, state, lr, mask, batch, rng)`
+    with donated carries — params/optimizer state never leave HBM;
+  * freeze/unfreeze staging as a 0/1 gradient mask *array* pytree (changing
+    the mask at the unfreeze epoch does NOT recompile);
+  * host work (logging, checkpoints, LR plateau logic) reads only the metrics
+    it needs; the step loop is async-dispatch and never blocks on device
+    except at epoch boundaries and the log cadence;
+  * optional ('data','model') mesh: batches are split on 'data', params laid
+    out by the task's sharding rules; XLA emits the gradient psum over ICI
+    (SURVEY.md §2.9 — this replaces Lightning's DDP/NCCL path);
+  * scenes/sec/chip is tracked first-class (BASELINE.json north-star metric);
+  * checkpoints: keep-last every epoch + keep-best on monitored val_loss,
+    like Lightning's ModelCheckpoint default (SURVEY.md §5.4).
+"""
+from __future__ import annotations
+
+import os
+import time
+from dataclasses import dataclass
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import optax
+
+from driving_dirty_tpu.checkpoints import io as ckpt_io
+from driving_dirty_tpu.data.pipeline import device_prefetch
+from driving_dirty_tpu.parallel import mesh as mesh_lib
+from driving_dirty_tpu.train.logging import MetricsLogger
+
+
+def _tree_ones_mask(params):
+    return jax.tree.map(lambda p: jnp.ones((), p.dtype if jnp.issubdtype(p.dtype, jnp.floating) else jnp.float32), params)
+
+
+def _bool_mask_to_arrays(params, bool_mask):
+    return jax.tree.map(
+        lambda p, m: jnp.asarray(1.0 if m else 0.0, jnp.float32), params, bool_mask
+    )
+
+
+@dataclass
+class FitResult:
+    params: object
+    state: object
+    best_val_loss: float
+    best_ckpt_path: str | None
+    last_ckpt_path: str | None
+    scenes_per_sec: float
+
+
+class Trainer:
+    def __init__(
+        self,
+        max_epochs: int = 1,
+        default_root_dir: str = "logs",
+        mesh=None,
+        num_devices: int | None = None,
+        model_parallel: int = 1,
+        limit_train_batches: int | None = None,
+        limit_val_batches: int | None = None,
+        log_every_n_steps: int = 50,
+        seed: int = 20200505,
+        enable_checkpointing: bool = True,
+        enable_progress_bar: bool = True,
+        profile_dir: str | None = None,
+        debug_nans: bool = False,
+    ):
+        self.max_epochs = max_epochs
+        self.root = default_root_dir
+        if mesh is None and (num_devices is not None or model_parallel > 1):
+            mesh = mesh_lib.build_mesh(num_devices, model_parallel)
+        self.mesh = mesh
+        self.limit_train_batches = limit_train_batches
+        self.limit_val_batches = limit_val_batches
+        self.log_every = log_every_n_steps
+        self.seed = seed
+        self.enable_checkpointing = enable_checkpointing
+        self.enable_progress_bar = enable_progress_bar
+        self.profile_dir = profile_dir
+        if debug_nans:
+            jax.config.update("jax_debug_nans", True)
+        self.global_step = 0
+
+    # ------------------------------------------------------------------
+    def _build_optimizer(self, task):
+        base = optax.inject_hyperparams(optax.adam)(learning_rate=task.learning_rate())
+        return base
+
+    def _make_train_step(self, task, tx):
+        def train_step(params, opt_state, state, grad_mask, batch, rng):
+            def loss_fn(p):
+                loss, (new_state, metrics) = task.loss(p, state, batch, rng, train=True)
+                return loss, (new_state, metrics)
+
+            (loss, (new_state, metrics)), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
+            grads = jax.tree.map(lambda g, m: g * m, grads, grad_mask)
+            updates, opt_state = tx.update(grads, opt_state, params)
+            params = optax.apply_updates(params, updates)
+            metrics = dict(metrics)
+            metrics["loss"] = loss
+            return params, opt_state, new_state, metrics
+
+        donate = (0, 1, 2)
+        if self.mesh is not None:
+            # Batches arrive sharded on 'data'; params/opt_state keep their
+            # placement (task sharding rules or replicated). XLA derives the
+            # gradient psum from the shardings — no explicit collectives.
+            return jax.jit(train_step, donate_argnums=donate)
+        return jax.jit(train_step, donate_argnums=donate)
+
+    def _make_val_step(self, task):
+        def val_step(params, state, batch, rng):
+            return task.val_metrics(params, state, batch, rng)
+
+        return jax.jit(val_step)
+
+    # ------------------------------------------------------------------
+    def fit(self, task, resume_from: str | None = None) -> FitResult:
+        run_dir = os.path.join(self.root, task.name)
+        logger = MetricsLogger(os.path.join(run_dir, "tb"))
+        rng = jax.random.PRNGKey(self.seed)
+        rng, init_rng = jax.random.split(rng)
+
+        params, state = task.init(init_rng)
+        tx = self._build_optimizer(task)
+        opt_state = tx.init(params)
+        start_epoch = 0
+        if resume_from:
+            blob = ckpt_io.load(resume_from)
+            params = jax.tree.map(jnp.asarray, blob["params"])
+            if blob.get("state") is not None:
+                state = jax.tree.map(jnp.asarray, blob["state"])
+            start_epoch = int(blob.get("meta", {}).get("epoch", -1)) + 1
+            self.global_step = int(blob.get("meta", {}).get("global_step", 0))
+
+        if self.mesh is not None:
+            rules = getattr(task, "param_sharding_rules", lambda path, leaf: None)
+            pshard = mesh_lib.param_shardings(self.mesh, params, rules)
+            params = jax.tree.map(jax.device_put, params, pshard)
+            rep = mesh_lib.replicated(self.mesh)
+            state = jax.tree.map(lambda x: jax.device_put(x, rep), state)
+            opt_state = tx.init(params)
+
+        train_step = self._make_train_step(task, tx)
+        val_step = self._make_val_step(task)
+
+        best_val = float("inf")
+        best_path = last_path = None
+        plateau = task.lr_schedule()
+        plateau_wait, lr = 0, task.learning_rate()
+        scenes_per_sec = 0.0
+
+        for epoch in range(start_epoch, self.max_epochs):
+            task.current_epoch = epoch
+            bool_mask = task.freeze_mask(params, epoch)
+            grad_mask = (
+                _tree_ones_mask(params)
+                if bool_mask is None
+                else _bool_mask_to_arrays(params, bool_mask)
+            )
+
+            # ---- train epoch ----
+            loader = task.train_loader()
+            it = iter(loader)
+            if self.mesh is not None:
+                it = device_prefetch(it, sharding=None)  # batch split below
+            else:
+                it = device_prefetch(it)
+            t0 = time.perf_counter()
+            n_scenes = 0
+            n_batches = 0
+            for batch_idx, (batch, bmask) in enumerate(it):
+                if self.limit_train_batches is not None and batch_idx >= self.limit_train_batches:
+                    break
+                if self.mesh is not None:
+                    batch = mesh_lib.shard_batch(self.mesh, batch)
+                rng, step_rng = jax.random.split(rng)
+                params, opt_state, state, metrics = train_step(
+                    params, opt_state, state, grad_mask, batch, step_rng
+                )
+                bs = jax.tree.leaves(batch)[0].shape[0]
+                n_scenes += bs
+                n_batches += 1
+                if self.global_step % self.log_every == 0:
+                    logger.log_scalars(
+                        {k: v for k, v in metrics.items()}, self.global_step, prefix="train_"
+                    )
+                self.global_step += 1
+            jax.tree.map(
+                lambda x: x.block_until_ready() if hasattr(x, "block_until_ready") else x,
+                jax.tree.leaves(params)[:1],
+            )
+            dt = time.perf_counter() - t0
+            if n_scenes and dt > 0:
+                scenes_per_sec = n_scenes / dt
+                logger.log_scalars({"scenes_per_sec": scenes_per_sec, "epoch": epoch}, self.global_step)
+            if self.enable_progress_bar:
+                print(f"[{task.name}] epoch {epoch}: {n_batches} batches, {scenes_per_sec:.2f} scenes/s")
+
+            # ---- validation epoch ----
+            val_metrics = self._run_validation(task, val_step, params, state, rng)
+            if val_metrics:
+                logger.log_scalars(val_metrics, self.global_step)
+                if self.enable_progress_bar:
+                    vs = ", ".join(f"{k}={float(v):.4f}" for k, v in val_metrics.items())
+                    print(f"[{task.name}] epoch {epoch} val: {vs}")
+
+            # ---- LR plateau schedule (host-side) ----
+            if plateau and val_metrics:
+                monitored = float(val_metrics.get("val_loss", np.inf))
+                if monitored < best_val - 1e-8:
+                    plateau_wait = 0
+                else:
+                    plateau_wait += 1
+                    if plateau_wait > plateau.get("plateau_patience", 10):
+                        lr *= plateau.get("factor", 0.1)
+                        opt_state.hyperparams["learning_rate"] = jnp.asarray(lr)
+                        plateau_wait = 0
+                        logger.log_scalars({"learning_rate": lr}, self.global_step)
+
+            # ---- checkpointing ----
+            if self.enable_checkpointing:
+                meta = {"epoch": epoch, "global_step": self.global_step, "task": task.name}
+                last_path = os.path.join(run_dir, "last.ckpt")
+                ckpt_io.save(
+                    last_path, params=params, state=state, hparams=vars(task.hparams), meta=meta
+                )
+                monitored = float(val_metrics.get("val_loss", np.inf)) if val_metrics else np.inf
+                if monitored < best_val:
+                    best_val = monitored
+                    best_path = os.path.join(run_dir, "best.ckpt")
+                    ckpt_io.save(
+                        best_path, params=params, state=state, hparams=vars(task.hparams), meta=meta
+                    )
+
+        logger.close()
+        return FitResult(params, state, best_val, best_path, last_path, scenes_per_sec)
+
+    def _run_validation(self, task, val_step, params, state, rng):
+        try:
+            loader = task.val_loader()
+        except NotImplementedError:
+            return {}
+        sums: dict = {}
+        weights = 0.0
+        for batch_idx, (batch, bmask) in enumerate(device_prefetch(iter(loader))):
+            if self.limit_val_batches is not None and batch_idx >= self.limit_val_batches:
+                break
+            if self.mesh is not None:
+                batch = mesh_lib.shard_batch(self.mesh, batch)
+            rng, step_rng = jax.random.split(rng)
+            metrics = val_step(params, state, batch, step_rng)
+            w = float(np.sum(bmask))
+            for k, v in metrics.items():
+                sums[k] = sums.get(k, 0.0) + float(np.asarray(v)) * w
+            weights += w
+        if not weights:
+            return {}
+        return {k: v / weights for k, v in sums.items()}

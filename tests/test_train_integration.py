@@ -1,0 +1,98 @@
+"""End-to-end integration: synthetic dataset -> BasicAE training ->
+checkpoint -> restore (SURVEY.md §4.5)."""
+import os
+
+import numpy as np
+import pytest
+
+import jax
+
+from driving_dirty_tpu.checkpoints import io as ckpt_io
+from driving_dirty_tpu.data.synthetic import generate
+from driving_dirty_tpu.models.basic_ae import BasicAE
+from driving_dirty_tpu.train.trainer import Trainer
+
+TINY = dict(
+    hidden_dim=8,
+    latent_dim=8,
+    batch_size=2,
+    learning_rate=1e-3,
+    samples_per_scene=4,
+    num_unlabeled_scenes=3,
+    output_img_freq=500,
+)
+
+
+@pytest.fixture(scope="module")
+def data_dir(tmp_path_factory):
+    d = tmp_path_factory.mktemp("dd_data")
+    generate(str(d), scenes=3, samples=4, labeled_scenes=2, seed=0)
+    return str(d)
+
+
+def test_basic_ae_fit_and_checkpoint(data_dir, tmp_path):
+    task = BasicAE(dict(link=data_dir, **TINY))
+    trainer = Trainer(
+        max_epochs=2,
+        default_root_dir=str(tmp_path / "logs"),
+        limit_train_batches=2,
+        limit_val_batches=1,
+        enable_progress_bar=False,
+    )
+    result = trainer.fit(task)
+    assert np.isfinite(result.best_val_loss)
+    assert result.last_ckpt_path and os.path.exists(result.last_ckpt_path)
+    assert result.best_ckpt_path and os.path.exists(result.best_ckpt_path)
+    assert result.scenes_per_sec > 0
+
+    # restore: embedded hparams rebuild the model (Lightning
+    # load_from_checkpoint semantics, SURVEY.md §5.4b)
+    blob = ckpt_io.load(result.last_ckpt_path)
+    assert blob["hparams"]["latent_dim"] == 8
+    restored = BasicAE(blob["hparams"])
+    params = blob["params"]
+    x = jax.numpy.zeros((1, 6, 256, 306, 3))
+    y_hat, y, _ = restored.forward(
+        params, blob["state"], x, train=False, rng=jax.random.PRNGKey(0)
+    )
+    assert y_hat.shape == (1, 256, 306, 3)
+
+
+def test_resume_from_checkpoint(data_dir, tmp_path):
+    task = BasicAE(dict(link=data_dir, **TINY))
+    trainer = Trainer(
+        max_epochs=1,
+        default_root_dir=str(tmp_path / "logs"),
+        limit_train_batches=1,
+        limit_val_batches=1,
+        enable_progress_bar=False,
+    )
+    r1 = trainer.fit(task)
+    trainer2 = Trainer(
+        max_epochs=2,
+        default_root_dir=str(tmp_path / "logs2"),
+        limit_train_batches=1,
+        limit_val_batches=1,
+        enable_progress_bar=False,
+    )
+    r2 = trainer2.fit(task, resume_from=r1.last_ckpt_path)
+    assert r2.last_ckpt_path is not None
+
+
+def test_fit_on_virtual_8device_mesh(data_dir, tmp_path):
+    # Data-parallel training over the 8-device virtual CPU mesh (conftest).
+    from driving_dirty_tpu.parallel import mesh as mesh_lib
+
+    assert len(jax.devices()) == 8
+    mesh = mesh_lib.build_mesh(8, 1)
+    task = BasicAE(dict(link=data_dir, **{**TINY, "batch_size": 8}))
+    trainer = Trainer(
+        max_epochs=1,
+        default_root_dir=str(tmp_path / "logs"),
+        mesh=mesh,
+        limit_train_batches=2,
+        limit_val_batches=1,
+        enable_progress_bar=False,
+    )
+    result = trainer.fit(task)
+    assert np.isfinite(result.best_val_loss)
