@@ -1,0 +1,162 @@
+"""Benchmark: 6-view scenes/sec/chip on roadmap inference (BASELINE.json
+config 1 / north-star metric).
+
+Prints ONE JSON line:
+    {"metric": "...", "value": N, "unit": "...", "vs_baseline": N}
+
+vs_baseline compares against the PyTorch-CPU reference pipeline measured on
+this machine (the reference publishes no throughput numbers — SURVEY.md §6).
+The baseline is measured once and cached in BASELINE_SELF.json; pass
+--rebaseline to re-measure.
+
+Model: flagship roadmap inference at reference scale (AE hidden 128, latent 64
+per FinalReport §2; stitch -> conv encoder -> 940032x128 dense -> latent ->
+640000-way head -> sigmoid mask). Random weights — throughput does not depend
+on weight values.
+"""
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+BASELINE_CACHE = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BASELINE_SELF.json")
+HID, LAT = 128, 64
+BATCH = 16
+H, W = 256, 306
+
+
+def log(*a):
+    print(*a, file=sys.stderr)
+
+
+def measure_tpu(batch=BATCH, iters=20, warmup=3):
+    import jax
+    import jax.numpy as jnp
+
+    from driving_dirty_tpu.models.roadmap import RoadMapBCEv2
+
+    task = RoadMapBCEv2(dict(pretrained_path=None, ae_hidden_dim=HID, ae_latent_dim=LAT))
+    params, state = task.init(jax.random.PRNGKey(0))
+
+    @jax.jit
+    def predict(params, state, images):
+        _, probs, _ = task.forward(params, state, images, train=False, rng=jax.random.PRNGKey(0))
+        mask = probs > 0.5
+        # scalar digest fetched host-side: forces real completion per batch
+        # (block_until_ready is unreliable on the tunneled platform)
+        return mask, jnp.sum(mask)
+
+    x = jnp.asarray(np.random.RandomState(0).rand(batch, 6, H, W, 3).astype(np.float32))
+    for _ in range(warmup):
+        float(predict(params, state, x)[1])
+    # Double-buffered consumer: keep a small pipeline of dispatched batches in
+    # flight, but *every* output is synced to host — honest throughput.
+    inflight = []
+    depth = 4
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        inflight.append(predict(params, state, x)[1])
+        if len(inflight) > depth:
+            float(inflight.pop(0))
+    for d in inflight:
+        float(d)
+    dt = time.perf_counter() - t0
+    sps = batch * iters / dt
+    log(f"tpu: {sps:.2f} scenes/s ({iters}x batch {batch} in {dt:.2f}s) on {jax.devices()[0]}")
+    return sps
+
+
+def measure_torch_cpu(batch=4, iters=3):
+    """Reference-equivalent inference in torch on CPU (the reference's only
+    exercised config is single-device; CPU is the comparable host baseline).
+    Architecture mirrors /root/reference encoder + roadmap head at the same
+    dims; built fresh here purely as a measurement rig."""
+    import torch
+    import torch.nn.functional as F
+
+    torch.set_num_threads(os.cpu_count() or 8)
+
+    class Enc(torch.nn.Module):
+        def __init__(self):
+            super().__init__()
+            self.c1 = torch.nn.Conv2d(3, 32, 3, padding=1)
+            self.c2 = torch.nn.Conv2d(32, 32, 3, padding=1)
+            self.c3 = torch.nn.Conv2d(32, 32, 3, 2, 1)
+            cod = (32 * 128 * 918) // 4
+            self.fc1 = torch.nn.Linear(cod, HID)
+            self.bn1 = torch.nn.BatchNorm1d(HID)
+            self.fc2 = torch.nn.Linear(HID, HID)
+            self.bn2 = torch.nn.BatchNorm1d(HID)
+            self.fcz = torch.nn.Linear(HID, LAT)
+            self.head = torch.nn.Linear(LAT, 800 * 800)
+
+        def forward(self, x):
+            x = F.relu(self.c1(x))
+            x = F.relu(self.c2(x))
+            x = F.relu(self.c3(x))
+            x = x.reshape(x.size(0), -1).unsqueeze(1)
+            x = F.max_pool1d(x, 4).squeeze(1)
+            x = F.relu(self.bn1(self.fc1(x)))
+            x = F.relu(self.bn2(self.fc2(x)))
+            z = self.fcz(x)
+            y = torch.sigmoid(self.head(z)).reshape(-1, 800, 800)
+            return y > 0.5
+
+    model = Enc().eval()
+    x = torch.rand(batch, 6, 3, H, W)
+    with torch.no_grad():
+        # stitch: reorder + permute + reshape as the reference does
+        def run(x):
+            p = x[:, [0, 1, 2, 5, 4, 3]]
+            b, v, c, h, w = p.shape
+            wide = p.permute(0, 2, 3, 1, 4).reshape(b, c, h, v * w)
+            return model(wide)
+
+        run(x)  # warmup
+        t0 = time.perf_counter()
+        for _ in range(iters):
+            run(x)
+        dt = time.perf_counter() - t0
+    sps = batch * iters / dt
+    log(f"torch-cpu baseline: {sps:.2f} scenes/s ({iters}x batch {batch} in {dt:.2f}s)")
+    return sps
+
+
+def get_baseline(rebaseline=False):
+    if not rebaseline and os.path.exists(BASELINE_CACHE):
+        with open(BASELINE_CACHE) as f:
+            return json.load(f)["torch_cpu_scenes_per_sec"]
+    sps = measure_torch_cpu()
+    with open(BASELINE_CACHE, "w") as f:
+        json.dump({"torch_cpu_scenes_per_sec": sps, "measured_at": time.time()}, f)
+    return sps
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--rebaseline", action="store_true")
+    ap.add_argument("--batch", type=int, default=BATCH)
+    ap.add_argument("--iters", type=int, default=20)
+    args = ap.parse_args(argv)
+
+    baseline = get_baseline(args.rebaseline)
+    sps = measure_tpu(args.batch, args.iters)
+    print(
+        json.dumps(
+            {
+                "metric": "6-view scenes/sec/chip (roadmap inference)",
+                "value": round(sps, 2),
+                "unit": "scenes/sec",
+                "vs_baseline": round(sps / baseline, 2) if baseline else None,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,96 @@
+"""Roadmap checkpoint inference — the documented `run_test.py` entry point.
+
+The reference README documents `cd src/utils && python run_test.py
+--rm_ckpt_path '../../checkpoints/rm.ckpt'` (/root/reference/README.md:33-37)
+but the file is absent from the snapshot (SURVEY.md L7); this implements the
+documented surface: restore a roadmap checkpoint, iterate scenes, predict
+800x800 masks (stitch -> encoder -> head -> sigmoid -> threshold 0.5), score
+the threat metric against ground truth when available, and report
+scenes/sec/chip — the primary benchmark config (BASELINE.json config 1).
+
+    python -m driving_dirty_tpu.cli.run_test --rm_ckpt_path <ckpt> \
+        --link <data> [--batch_size 1] [--out masks.npz]
+
+Accepts framework .ckpt checkpoints; PyTorch Lightning rm.ckpt files are
+converted via driving_dirty_tpu.checkpoints.torch_import first.
+"""
+from __future__ import annotations
+
+import argparse
+import time
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from driving_dirty_tpu.checkpoints import io as ckpt_io
+from driving_dirty_tpu.data.dataset import LABELED_SCENES, NUM_SAMPLE_PER_SCENE, LabeledDataset
+from driving_dirty_tpu.data.pipeline import Loader, device_prefetch
+from driving_dirty_tpu.metrics.threat import ts_road_map
+from driving_dirty_tpu.models.roadmap import RoadMapBCEv2
+
+
+def load_roadmap_model(ckpt_path):
+    blob = ckpt_io.load(ckpt_path)
+    hparams = dict(blob["hparams"] or {})
+    hparams.setdefault("pretrained_path", None)
+    task = RoadMapBCEv2(hparams)
+    params = jax.tree.map(jnp.asarray, blob["params"])
+    state = jax.tree.map(jnp.asarray, blob["state"]) if blob.get("state") else task.init(jax.random.PRNGKey(0))[1]
+    return task, params, state
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--rm_ckpt_path", type=str, required=True)
+    ap.add_argument("--link", type=str, default="/scratch/ab8690/DLSP20Dataset/data")
+    ap.add_argument("--batch_size", type=int, default=1)
+    ap.add_argument("--samples_per_scene", type=int, default=NUM_SAMPLE_PER_SCENE)
+    ap.add_argument("--num_labeled_scenes", type=int, default=len(LABELED_SCENES))
+    ap.add_argument("--limit_batches", type=int, default=None)
+    ap.add_argument("--out", type=str, default=None, help="npz path for predicted masks")
+    args = ap.parse_args(argv)
+
+    task, params, state = load_roadmap_model(args.rm_ckpt_path)
+    predict = jax.jit(lambda p, s, x: task.predict(p, s, x))
+
+    ds = LabeledDataset(
+        args.link,
+        f"{args.link}/annotation.csv",
+        LABELED_SCENES[: args.num_labeled_scenes],
+        samples_per_scene=args.samples_per_scene,
+    )
+    loader = Loader(ds, args.batch_size, shuffle=False, num_workers=4)
+
+    masks, ts_scores = [], []
+    n_scenes = 0
+    # warm-up compile outside the timed loop
+    dummy = jnp.zeros((args.batch_size, 6, 256, 306, 3), jnp.float32)
+    predict(params, state, dummy).block_until_ready()
+
+    t0 = time.perf_counter()
+    for i, (batch, bmask) in enumerate(device_prefetch(iter(loader))):
+        if args.limit_batches is not None and i >= args.limit_batches:
+            break
+        pred = predict(params, state, batch["images"])
+        for j in range(pred.shape[0]):
+            if not bmask[j]:
+                continue
+            ts_scores.append(float(ts_road_map(batch["road"][j], pred[j])))
+            n_scenes += 1
+            if args.out:
+                masks.append(np.asarray(pred[j], dtype=np.uint8))
+    jax.block_until_ready(pred)
+    dt = time.perf_counter() - t0
+
+    sps = n_scenes / dt if dt > 0 else 0.0
+    avg_ts = float(np.mean(ts_scores)) if ts_scores else float("nan")
+    print(f"scenes: {n_scenes}  scenes/sec: {sps:.3f}  avg_ts: {avg_ts:.4f}")
+    if args.out and masks:
+        np.savez_compressed(args.out, masks=np.stack(masks))
+        print(f"masks written to {args.out}")
+    return {"scenes_per_sec": sps, "avg_ts": avg_ts, "n_scenes": n_scenes}
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,60 @@
+"""Loading a pretrained BasicAE backbone from a checkpoint.
+
+Mirrors `BasicAE.load_from_checkpoint(pretrained_path)` as used by every
+downstream model (/root/reference/src/roadmap_model/roadmap_bce_v2.py:43,
+bb_fast_rcnn.py:51, spatial_model.py:43, ...): the checkpoint's embedded
+hparams rebuild the encoder/decoder descriptors, the weights come along, and
+the caller decides what to freeze (via Task.freeze_mask) and whether to keep
+the decoder.
+
+When `pretrained_path` is None (tests / from-scratch runs), a randomly
+initialized AE with the caller-supplied dims is used instead.
+"""
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from driving_dirty_tpu.checkpoints import io as ckpt_io
+from driving_dirty_tpu.models.basic_ae import BasicAE
+from driving_dirty_tpu.train.task import hp
+
+
+def load_pretrained_ae(hparams, *, need_decoder: bool = False):
+    """-> (BasicAE task object, params dict or None, state dict or None).
+
+    params/state are None when no checkpoint is given; the caller should then
+    init the returned descriptors fresh.
+    """
+    path = hp(hparams, "pretrained_path", None)
+    if path:
+        blob = ckpt_io.load(path)
+        ae = BasicAE(blob["hparams"])
+        params = jax.tree.map(jnp.asarray, blob["params"])
+        state = jax.tree.map(jnp.asarray, blob["state"]) if blob.get("state") is not None else None
+        if not need_decoder:
+            params = {"encoder": params["encoder"]}
+            state = {"encoder": state["encoder"]} if state else None
+        return ae, params, state
+    ae = BasicAE(
+        dict(
+            hidden_dim=hp(hparams, "ae_hidden_dim", 128),
+            latent_dim=hp(hparams, "ae_latent_dim", 64),
+            batch_size=hp(hparams, "batch_size", 16),
+        )
+    )
+    return ae, None, None
+
+
+def init_backbone(ae, params, state, rng, *, need_decoder: bool = False):
+    """Materialize encoder (and optionally decoder) params/state, from the
+    checkpoint when available, otherwise fresh."""
+    if params is not None:
+        return params, state if state is not None else {}
+    ke, kd = jax.random.split(rng)
+    pe, se = ae.encoder.init(ke)
+    out_p, out_s = {"encoder": pe}, {"encoder": se}
+    if need_decoder:
+        pd, sd = ae.decoder.init(kd)
+        out_p["decoder"], out_s["decoder"] = pd, sd
+    return out_p, out_s

@@ -1,0 +1,169 @@
+"""Roadmap prediction tasks: frozen pretrained encoder + Linear head -> 800x800.
+
+Three variants matching /root/reference/src/roadmap_model/ (SURVEY.md §2.4):
+
+  RoadMap      ("roadmap_mse", roadmap_pretrain_ae.py): sigmoid + MSE loss,
+               encoder unfreezes at the hard-coded epoch 30.
+  RoadMapBCE   (roadmap_bce_loss.py): BCE-with-logits; the reference computes
+               val TS on *raw logits* and logits.round() (quirk, :141-142) —
+               preserved behind `ts_on_logits`.
+  RoadMapBCEv2 ("roadmap_bce", roadmap_bce_v2.py, the registry default):
+               BCE-with-logits, TS on sigmoid output, ReduceLROnPlateau
+               (patience 10), tunable --unfreeze_epoch_no.
+
+TPU-first notes: the latent->640000 head is the dominant weight (41-82M
+params); under a ('data','model') mesh its output dim is sharded over 'model'
+(param_sharding_rules below), so the big matmul runs column-parallel with an
+all-gather only at the 800x800 reshape. Freezing is optimizer masking, not
+module mutation.
+"""
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import PartitionSpec as P
+
+from driving_dirty_tpu.metrics.threat import ts_road_map
+from driving_dirty_tpu.models.labeled_data import LabeledDataMixin, add_labeled_data_args
+from driving_dirty_tpu.models.pretrained import init_backbone, load_pretrained_ae
+from driving_dirty_tpu.core import layers as L
+from driving_dirty_tpu.ops.stitch import wide_stitch
+from driving_dirty_tpu.train.task import Task, hp
+
+MAP_PIXELS = 800 * 800
+
+
+class RoadMapBase(LabeledDataMixin, Task):
+    name = "roadmap_base"
+    unfreeze_default = 30  # hard-coded in mse/bce-v1 (roadmap_pretrain_ae.py:131)
+
+    def __init__(self, hparams=None):
+        super().__init__(hparams)
+        h = self.hparams
+        self.batch_size = hp(h, "batch_size", 16)
+        self.output_dim = MAP_PIXELS
+        self.ae, self._ae_params, self._ae_state = load_pretrained_ae(h)
+        self.latent_dim = self.ae.latent_dim
+        self.fc1 = L.Linear(self.latent_dim, self.output_dim)
+        ue = hp(h, "unfreeze_epoch_no", None)
+        self.unfreeze_epoch_no = self.unfreeze_default if ue is None else ue
+
+    # --- model -----------------------------------------------------------
+    def init(self, rng):
+        k_bb, k_fc = jax.random.split(rng)
+        bb_p, bb_s = init_backbone(self.ae, self._ae_params, self._ae_state, k_bb)
+        return {"encoder": bb_p["encoder"], "fc1": self.fc1.init(k_fc)}, {
+            "encoder": bb_s["encoder"]
+        }
+
+    def forward(self, params, state, images, *, train: bool, rng):
+        """[b, 6, H, W, C] -> (logits [b, 800, 800], probs, new_state)."""
+        x = wide_stitch(images)
+        z, se = self.ae.encoder.apply(
+            params["encoder"], state["encoder"], x, train=train, rng=rng
+        )
+        logits = self.fc1.apply(params["fc1"], z).reshape(z.shape[0], 800, 800)
+        return logits, jax.nn.sigmoid(logits), {"encoder": se}
+
+    def predict(self, params, state, images, rng=None):
+        """Inference entry: -> binary [b, 800, 800] mask (threshold 0.5)."""
+        rng = jax.random.PRNGKey(0) if rng is None else rng
+        _, probs, _ = self.forward(params, state, images, train=False, rng=rng)
+        return (probs > 0.5).astype(jnp.float32)
+
+    # --- optimization ----------------------------------------------------
+    def freeze_mask(self, params, epoch: int):
+        if epoch >= self.unfreeze_epoch_no:
+            return None  # everything trainable
+        enc_frozen = jax.tree.map(lambda _: False, params["encoder"])
+        rest = {k: jax.tree.map(lambda _: True, v) for k, v in params.items() if k != "encoder"}
+        return {"encoder": enc_frozen, **rest}
+
+    def param_sharding_rules(self, path, leaf):
+        # Shard the giant head's output dim and the encoder fc1 input dim over
+        # 'model'; everything else replicates.
+        if path[:2] == ("fc1", "w"):
+            return P(None, "model")
+        if path[:2] == ("fc1", "b"):
+            return P("model")
+        if path[:4] == ("encoder", "fc1", "fc", "w"):
+            return P("model", None)
+        return None
+
+    # --- CLI -------------------------------------------------------------
+    @staticmethod
+    def add_model_specific_args(parser):
+        parser.add_argument("--learning_rate", type=float, default=1e-3)
+        parser.add_argument("--batch_size", type=int, default=16)
+        parser.add_argument("--unfreeze_epoch_no", type=int, default=None)
+        add_labeled_data_args(parser)
+        return parser
+
+
+class RoadMap(RoadMapBase):
+    """MSE on sigmoid probabilities (/root/reference/src/roadmap_model/roadmap_pretrain_ae.py:76,100)."""
+
+    name = "roadmap_mse"
+
+    def loss(self, params, state, batch, rng, *, train: bool):
+        logits, probs, new_state = self.forward(
+            params, state, batch["images"], train=train, rng=rng
+        )
+        target = batch["road"]
+        loss = jnp.mean((target - probs) ** 2)
+        return loss, (new_state, {})
+
+    def val_metrics(self, params, state, batch, rng):
+        logits, probs, _ = self.forward(params, state, batch["images"], train=False, rng=rng)
+        target = batch["road"]
+        loss = jnp.mean((target - probs) ** 2)
+        return {
+            "val_loss": loss,
+            "val_ts": ts_road_map(target, probs),
+            "val_ts_rounded": ts_road_map(target, jnp.round(probs)),
+        }
+
+
+class RoadMapBCE(RoadMapBase):
+    """BCE-with-logits; v1 quirk: TS computed on raw logits
+    (/root/reference/src/roadmap_model/roadmap_bce_loss.py:141-142)."""
+
+    name = "roadmap_bce_v1"
+    ts_on_logits = True
+
+    def _bce(self, logits, target):
+        # F.binary_cross_entropy_with_logits, mean reduction
+        return jnp.mean(
+            jnp.maximum(logits, 0) - logits * target + jnp.log1p(jnp.exp(-jnp.abs(logits)))
+        )
+
+    def loss(self, params, state, batch, rng, *, train: bool):
+        logits, probs, new_state = self.forward(
+            params, state, batch["images"], train=train, rng=rng
+        )
+        loss = self._bce(logits, batch["road"])
+        return loss, (new_state, {})
+
+    def val_metrics(self, params, state, batch, rng):
+        logits, probs, _ = self.forward(params, state, batch["images"], train=False, rng=rng)
+        target = batch["road"]
+        loss = self._bce(logits, target)
+        scored = logits if self.ts_on_logits else probs
+        return {
+            "val_loss": loss,
+            "val_ts": ts_road_map(target, scored),
+            "val_ts_rounded": ts_road_map(target, jnp.round(scored)),
+        }
+
+
+class RoadMapBCEv2(RoadMapBCE):
+    """Registry default 'roadmap_bce' (/root/reference/src/submit.py:22):
+    TS on sigmoid output, plateau LR schedule, tunable unfreeze epoch
+    (roadmap_bce_v2.py:139-140,154-157,211)."""
+
+    name = "roadmap_bce"
+    ts_on_logits = False
+    unfreeze_default = 0  # CLI default (roadmap_bce_v2.py:211)
+
+    def lr_schedule(self):
+        return {"plateau_patience": 10, "factor": 0.1}
