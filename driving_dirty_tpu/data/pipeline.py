@@ -24,6 +24,11 @@ import numpy as np
 import jax
 
 
+class _ProducerError:
+    def __init__(self, exc):
+        self.exc = exc
+
+
 def _stack(items):
     """Stack a list of dataset items (arrays, tuples, or dicts) into a batch."""
     first = items[0]
@@ -88,16 +93,23 @@ class Loader:
         stop = threading.Event()
 
         def produce():
-            with ThreadPoolExecutor(self.num_workers) as pool:
-                for b in batches:
-                    if stop.is_set():
-                        return
-                    items = list(pool.map(self.dataset.__getitem__, b))
-                    mask = np.ones(bs, bool)
-                    if len(items) < bs:  # pad final batch, mask the copies
-                        mask[len(items) :] = False
-                        items = items + [items[-1]] * (bs - len(items))
-                    out_q.put((_stack(items), mask))
+            # Any producer exception (bad path, decode error) is forwarded to
+            # the consumer and re-raised there — a silently dead producer
+            # would deadlock the training loop on out_q.get().
+            try:
+                with ThreadPoolExecutor(self.num_workers) as pool:
+                    for b in batches:
+                        if stop.is_set():
+                            return
+                        items = list(pool.map(self.dataset.__getitem__, b))
+                        mask = np.ones(bs, bool)
+                        if len(items) < bs:  # pad final batch, mask the copies
+                            mask[len(items) :] = False
+                            items = items + [items[-1]] * (bs - len(items))
+                        out_q.put((_stack(items), mask))
+            except BaseException as e:  # noqa: BLE001
+                out_q.put(_ProducerError(e))
+                return
             out_q.put(None)
 
         t = threading.Thread(target=produce, daemon=True)
@@ -107,9 +119,14 @@ class Loader:
                 item = out_q.get()
                 if item is None:
                     return
+                if isinstance(item, _ProducerError):
+                    raise item.exc
                 yield item
         finally:
             stop.set()
+            # drain so a blocked producer can observe `stop` and exit
+            while not out_q.empty():
+                out_q.get_nowait()
 
 
 def device_prefetch(iterator, size: int = 2, sharding=None):

@@ -1,0 +1,127 @@
+"""Spatial occupancy-map bounding-box tasks.
+
+Re-designs of /root/reference/src/bounding_box_model/spatial_bb/
+{spatial_model,spatial_w_rm}.py (SURVEY.md §2.6):
+
+  BBSpatialModel   ("spatial_bb"): SpatialMappingCNN + frozen SSL encoder
+                   (c3 feature tap) -> BoxesMergingCNN -> [b, 800, 800]
+                   occupancy; target = rasterized GT boxes; BCE (or MSE via
+                   --mse_loss) on probabilities.
+  BBSpatialRoadMap ("spatial_rm", registry name submit.py:23): adds the GT
+                   road map as an input branch via RoadMapBoxesMergingCNN.
+
+TPU-first notes:
+  * training targets (box rasters) are generated ON DEVICE inside the
+    compiled step (ops.maps.boxes_to_binary_map vmapped over the batch) from
+    the fixed-shape padded box tensors — the reference loops PIL draw calls
+    on the host per step (spatial_model.py:80-90);
+  * the reference's `self.ae.encoder(x, c3_only=True)` call is a latent
+    TypeError (Encoder.forward takes no kwarg, components.py:40 — SURVEY.md
+    §2.6); the *intent* (c3 feature tap) is implemented here.
+"""
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from driving_dirty_tpu.models.labeled_data import LabeledDataMixin, add_labeled_data_args
+from driving_dirty_tpu.models.pretrained import init_backbone, load_pretrained_ae
+from driving_dirty_tpu.nn.spatial import (
+    BoxesMergingCNN,
+    RoadMapBoxesMergingCNN,
+    SpatialMappingCNN,
+)
+from driving_dirty_tpu.ops.maps import boxes_to_binary_map
+from driving_dirty_tpu.ops.stitch import wide_stitch
+from driving_dirty_tpu.train.task import Task, hp
+
+
+def _bce_probs(probs, target, eps=1e-7):
+    """F.binary_cross_entropy on probabilities, mean reduction
+    (spatial_model.py:122)."""
+    p = jnp.clip(probs, eps, 1 - eps)
+    return -jnp.mean(target * jnp.log(p) + (1 - target) * jnp.log1p(-p))
+
+
+class BBSpatialModel(LabeledDataMixin, Task):
+    name = "spatial_bb"
+    merge_cls = BoxesMergingCNN
+    uses_roadmap = False
+
+    def __init__(self, hparams=None):
+        super().__init__(hparams)
+        h = self.hparams
+        self.batch_size = hp(h, "batch_size", 16)
+        self.mse_loss = hp(h, "mse_loss", False)
+        self.unfreeze_epoch_no = hp(h, "unfreeze_epoch_no", 20) or 20
+        self.ae, self._ae_params, self._ae_state = load_pretrained_ae(h)
+        self.space_map_cnn = SpatialMappingCNN()
+        self.box_merge = self.merge_cls()
+
+    # --- model -----------------------------------------------------------
+    def init(self, rng):
+        k_bb, k_sp, k_mg = jax.random.split(rng, 3)
+        bb_p, bb_s = init_backbone(self.ae, self._ae_params, self._ae_state, k_bb)
+        sp_p, _ = self.space_map_cnn.init(k_sp)
+        mg_p, _ = self.box_merge.init(k_mg)
+        return (
+            {"encoder": bb_p["encoder"], "space_map_cnn": sp_p, "box_merge": mg_p},
+            {"encoder": bb_s["encoder"]},
+        )
+
+    def forward(self, params, state, images, road=None, *, train: bool, rng):
+        """[b, 6, H, W, C] (+road [b,800,800]) -> occupancy probs [b,800,800]."""
+        spatial, _ = self.space_map_cnn.apply(params["space_map_cnn"], {}, images)
+        pano = wide_stitch(images)
+        ssr, se = self.ae.encoder.apply(
+            params["encoder"], state["encoder"], pano, train=train, rng=rng, c3_only=True
+        )
+        if self.uses_roadmap:
+            probs, _ = self.box_merge.apply(
+                params["box_merge"], {}, ssr, spatial, road[..., None]
+            )
+        else:
+            probs, _ = self.box_merge.apply(params["box_merge"], {}, ssr, spatial)
+        return probs[..., 0], {"encoder": se}
+
+    def _targets(self, batch):
+        return jax.vmap(boxes_to_binary_map)(batch["boxes"], batch["box_valid"])
+
+    def loss(self, params, state, batch, rng, *, train: bool):
+        target = self._targets(batch)
+        road = batch["road"] if self.uses_roadmap else None
+        probs, new_state = self.forward(
+            params, state, batch["images"], road, train=train, rng=rng
+        )
+        if self.mse_loss:
+            loss = jnp.mean((probs - target) ** 2)
+        else:
+            loss = _bce_probs(probs, target)
+        return loss, (new_state, {})
+
+    # --- optimization ----------------------------------------------------
+    def freeze_mask(self, params, epoch: int):
+        if epoch >= self.unfreeze_epoch_no:
+            return None
+        enc_frozen = jax.tree.map(lambda _: False, params["encoder"])
+        rest = {k: jax.tree.map(lambda _: True, v) for k, v in params.items() if k != "encoder"}
+        return {"encoder": enc_frozen, **rest}
+
+    # --- CLI -------------------------------------------------------------
+    @staticmethod
+    def add_model_specific_args(parser):
+        parser.add_argument("--learning_rate", type=float, default=1e-3)
+        parser.add_argument("--batch_size", type=int, default=16)
+        parser.add_argument("--unfreeze_epoch_no", type=int, default=20)
+        parser.add_argument("--mse_loss", action="store_true", default=False)
+        parser.add_argument("--max_bb", type=int, default=100)
+        add_labeled_data_args(parser)
+        return parser
+
+
+class BBSpatialRoadMap(BBSpatialModel):
+    """spatial_rm: + GT road map branch (spatial_w_rm.py:52,79,108-113)."""
+
+    name = "spatial_rm"
+    merge_cls = RoadMapBoxesMergingCNN
+    uses_roadmap = True

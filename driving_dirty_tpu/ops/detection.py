@@ -1,0 +1,248 @@
+"""Fixed-shape detection primitives: anchors, matching, sampling, NMS, RoIAlign.
+
+These replace the native C++/CUDA torchvision ops behind the reference's
+Faster-RCNN models (SURVEY.md §2.9: NMS, MultiScaleRoIAlign, anchor machinery
+at /root/reference/src/bounding_box_model/fast_rcnn/bb_fast_rcnn.py:61-72)
+with TPU-idiomatic equivalents: every op is fixed-shape (padded + masked),
+data-dependent control flow is lax.scan/fori_loop, gathers are batched
+advanced indexing that XLA lowers to dynamic-gather HLOs.
+
+Conventions: boxes are pixel-space xyxy; "validity" is a bool mask aligned
+with the padded leading axis; scores of invalid entries are -inf.
+"""
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from driving_dirty_tpu.ops.boxes import pairwise_iou
+
+NEG_INF = -1e9
+
+
+# ---------------------------------------------------------------------------
+# Anchors
+# ---------------------------------------------------------------------------
+def base_anchors(sizes=(32, 64, 128, 256, 512), ratios=(0.5, 1.0, 2.0)):
+    """[A, 4] zero-centered xyxy anchors, A = len(sizes) * len(ratios).
+
+    Same parameterization as torchvision's AnchorGenerator (h = s*sqrt(r),
+    w = s/sqrt(r)), the config used at bb_fast_rcnn.py:61-62."""
+    out = []
+    for s in sizes:
+        for r in ratios:
+            h = s * (r ** 0.5)
+            w = s / (r ** 0.5)
+            out.append([-w / 2, -h / 2, w / 2, h / 2])
+    return jnp.asarray(out, jnp.float32)
+
+
+def grid_anchors(feat_h: int, feat_w: int, stride: int, cell_anchors=None):
+    """[feat_h * feat_w * A, 4] anchors for one feature level."""
+    if cell_anchors is None:
+        cell_anchors = base_anchors()
+    ys = (jnp.arange(feat_h, dtype=jnp.float32) * stride)[:, None]
+    xs = (jnp.arange(feat_w, dtype=jnp.float32) * stride)[None, :]
+    shifts = jnp.stack(
+        [
+            jnp.broadcast_to(xs, (feat_h, feat_w)),
+            jnp.broadcast_to(ys, (feat_h, feat_w)),
+            jnp.broadcast_to(xs, (feat_h, feat_w)),
+            jnp.broadcast_to(ys, (feat_h, feat_w)),
+        ],
+        axis=-1,
+    )  # [H, W, 4]
+    anchors = shifts[:, :, None, :] + cell_anchors[None, None, :, :]
+    return anchors.reshape(-1, 4)
+
+
+# ---------------------------------------------------------------------------
+# Anchor <-> GT matching
+# ---------------------------------------------------------------------------
+def match_anchors(
+    anchors,
+    gt_boxes,
+    gt_valid,
+    high_thresh: float = 0.7,
+    low_thresh: float = 0.3,
+    force_match_gt: bool = True,
+):
+    """Assign each anchor a label {-1 ignore, 0 negative, 1 positive} and a
+    matched GT index.
+
+    Memory-lean for huge anchor sets: instead of the [N_anchors, N_gt] IoU
+    matrix, scans over the (padded) GT axis carrying per-anchor running
+    max/argmax — peak memory O(N_anchors), not O(N_anchors * N_gt).
+    Semantics follow torchvision's Matcher with allow_low_quality_matches:
+    anchors with IoU >= high are positive, < low negative, else ignored; each
+    valid GT's best-overlapping anchor is forced positive.
+    """
+    n = anchors.shape[0]
+
+    def body(carry, gt):
+        best_iou, best_idx, idx = carry
+        box, valid = gt
+        iou = pairwise_iou(anchors, box[None])[:, 0]
+        iou = jnp.where(valid, iou, 0.0)
+        better = iou > best_iou
+        best_iou = jnp.where(better, iou, best_iou)
+        best_idx = jnp.where(better, idx, best_idx)
+        # the max IoU this gt achieves over all anchors (for force-match)
+        gt_best = jnp.max(iou)
+        return (best_iou, best_idx, idx + 1), (gt_best, iou)
+
+    init = (jnp.zeros(n), jnp.zeros(n, jnp.int32), jnp.asarray(0, jnp.int32))
+    (best_iou, best_idx, _), (gt_best_iou, ious) = lax.scan(
+        body, init, (gt_boxes, gt_valid)
+    )
+
+    labels = jnp.where(best_iou >= high_thresh, 1, jnp.where(best_iou < low_thresh, 0, -1))
+    if force_match_gt:
+        # anchor i becomes positive if it ties some valid gt's best IoU
+        # (ious: [n_gt, n_anchors])
+        is_best = (ious >= gt_best_iou[:, None] - 1e-7) & (gt_best_iou[:, None] > 0) & gt_valid[:, None]
+        forced = jnp.any(is_best, axis=0)
+        labels = jnp.where(forced, 1, labels)
+        forced_gt = jnp.argmax(is_best, axis=0)
+        best_idx = jnp.where(forced & (best_iou <= 0), forced_gt, best_idx)
+    no_gt = ~jnp.any(gt_valid)
+    labels = jnp.where(no_gt, 0, labels)
+    return labels, best_idx, best_iou
+
+
+def sample_balanced(key, labels, num_samples: int, positive_fraction: float):
+    """Sample a fixed-size minibatch of anchor/proposal indices.
+
+    -> (idx [num_samples], is_pos [num_samples], weight [num_samples]) where
+    weight zeroes out slots that could not be filled. Random priority via
+    uniform noise + top_k (fixed-shape replacement for torch's randperm
+    subsampling inside torchvision's BalancedPositiveNegativeSampler).
+    """
+    kp, kn = jax.random.split(key)
+    n = labels.shape[0]
+    n_pos_want = int(num_samples * positive_fraction)
+    pos_mask = labels == 1
+    neg_mask = labels == 0
+
+    pos_priority = jnp.where(pos_mask, jax.random.uniform(kp, (n,)), NEG_INF)
+    neg_priority = jnp.where(neg_mask, jax.random.uniform(kn, (n,)), NEG_INF)
+    pos_val, pos_idx = lax.top_k(pos_priority, n_pos_want)
+    pos_take = pos_val > NEG_INF / 2
+    n_pos = jnp.sum(pos_take)
+    n_neg_want = num_samples - n_pos_want
+    neg_val, neg_idx = lax.top_k(neg_priority, num_samples)  # over-sample negatives
+    # fill: first n_pos_want slots from positives (masked), rest negatives
+    neg_needed = num_samples - n_pos
+    neg_rank = jnp.arange(num_samples)
+    neg_take = (neg_val > NEG_INF / 2) & (neg_rank < neg_needed)
+    # Compose final fixed-size index list: positives then negatives.
+    idx = jnp.concatenate([pos_idx, neg_idx])[: num_samples + n_pos_want]
+    take = jnp.concatenate([pos_take, neg_take])[: num_samples + n_pos_want]
+    is_pos = jnp.concatenate(
+        [jnp.ones_like(pos_take), jnp.zeros_like(neg_take)]
+    )[: num_samples + n_pos_want]
+    return idx, is_pos & take, take
+
+
+# ---------------------------------------------------------------------------
+# NMS
+# ---------------------------------------------------------------------------
+def nms_fixed(boxes, scores, iou_threshold: float, max_out: int):
+    """Greedy NMS over a fixed-size candidate set.
+
+    boxes [K, 4], scores [K] (invalid = -inf) -> (keep_idx [max_out],
+    keep_valid [max_out]). Sorts by score, computes the [K, K] IoU matrix
+    once, then a lax.scan over rows marks each box dead if any higher-scored
+    surviving box overlaps above threshold — identical output to torchvision's
+    sequential nms for distinct scores.
+    """
+    k = boxes.shape[0]
+    order = jnp.argsort(-scores)
+    b = boxes[order]
+    s = scores[order]
+    iou = pairwise_iou(b, b)
+    suppress_mat = (iou > iou_threshold)
+
+    def body(alive, i):
+        row = suppress_mat[i] & alive & (jnp.arange(k) < i)
+        keep_i = ~jnp.any(row) & (s[i] > NEG_INF / 2)
+        alive = alive.at[i].set(keep_i)
+        return alive, keep_i
+
+    alive0 = jnp.zeros(k, bool)
+    alive, keep = lax.scan(body, alive0, jnp.arange(k))
+    # gather up to max_out survivors in score order
+    keep_priority = jnp.where(keep, s, NEG_INF)
+    vals, kept_sorted = lax.top_k(keep_priority, max_out)
+    keep_idx = order[kept_sorted]
+    return keep_idx, vals > NEG_INF / 2
+
+
+# ---------------------------------------------------------------------------
+# RoIAlign
+# ---------------------------------------------------------------------------
+def roi_align(features, rois, output_size: int = 7, spatial_scale: float = 1.0,
+              sampling_ratio: int = 2):
+    """RoIAlign on a single NHWC feature map.
+
+    features [H, W, C]; rois [R, 4] xyxy in image coords -> [R, out, out, C].
+    Matches torchvision's MultiScaleRoIAlign semantics for one level
+    (bb_fast_rcnn.py:65-68): each output bin averages sampling_ratio^2
+    bilinear samples. Implemented as one batched gather + lerp over all
+    R * out * out * s^2 sample points — a single fused XLA gather, no loops.
+    """
+    H, W, C = features.shape
+    r = rois * spatial_scale
+    x0, y0, x1, y1 = r[:, 0], r[:, 1], r[:, 2], r[:, 3]
+    bin_w = (x1 - x0) / output_size
+    bin_h = (y1 - y0) / output_size
+    s = sampling_ratio
+    # sample grid: for bin (i, j), samples at offsets (k + 0.5)/s of the bin
+    off = (jnp.arange(s) + 0.5) / s
+    # ys: [R, out, s] = y0 + (i + off) * bin_h
+    iy = jnp.arange(output_size)
+    ys = y0[:, None, None] + (iy[None, :, None] + off[None, None, :]) * bin_h[:, None, None]
+    xs = x0[:, None, None] + (iy[None, :, None] + off[None, None, :]) * bin_w[:, None, None]
+    ys = ys.reshape(ys.shape[0], -1)  # [R, out*s]
+    xs = xs.reshape(xs.shape[0], -1)
+
+    def bilinear(yy, xx):
+        # yy [R, P], xx [R, Q] -> samples [R, P, Q, C]
+        yy = jnp.clip(yy - 0.5, 0.0, H - 1.0)  # align_corners=False convention
+        xx = jnp.clip(xx - 0.5, 0.0, W - 1.0)
+        y0i = jnp.floor(yy).astype(jnp.int32)
+        x0i = jnp.floor(xx).astype(jnp.int32)
+        y1i = jnp.minimum(y0i + 1, H - 1)
+        x1i = jnp.minimum(x0i + 1, W - 1)
+        wy = (yy - y0i)[..., None]  # [R, P, 1]
+        wx = (xx - x0i)[..., None]  # [R, Q, 1]
+        f = features
+        # gather rows then columns: [R, P, W, C] would be huge; instead gather
+        # full point grid via advanced indexing on (y, x) pairs.
+        Yp0 = y0i[:, :, None]
+        Yp1 = y1i[:, :, None]
+        Xq0 = x0i[:, None, :]
+        Xq1 = x1i[:, None, :]
+        v00 = f[Yp0, Xq0]
+        v01 = f[Yp0, Xq1]
+        v10 = f[Yp1, Xq0]
+        v11 = f[Yp1, Xq1]
+        wyP = wy[:, :, None, :]
+        wxQ = wx[:, None, :, :]
+        return (
+            v00 * (1 - wyP) * (1 - wxQ)
+            + v01 * (1 - wyP) * wxQ
+            + v10 * wyP * (1 - wxQ)
+            + v11 * wyP * wxQ
+        )
+
+    samples = bilinear(ys, xs)  # [R, out*s, out*s, C]
+    R = rois.shape[0]
+    samples = samples.reshape(R, output_size, s, output_size, s, C)
+    return jnp.mean(samples, axis=(2, 4))
+
+
+def batched_roi_align(features, rois, **kw):
+    """features [B, H, W, C], rois [B, R, 4] -> [B, R, out, out, C]."""
+    return jax.vmap(lambda f, r: roi_align(f, r, **kw))(features, rois)

@@ -149,3 +149,20 @@ def test_rasterizer_degenerate_padding_boxes_contribute_nothing():
     box[0, 1] = [5, -5, 5, -5]
     out = np.asarray(maps.boxes_to_binary_map(jnp.asarray(box)))
     assert 0 < out.sum() < 12000  # only the one real 10m x 10m box (~10100 px)
+
+
+def test_loader_propagates_producer_errors():
+    # A dataset raising inside the decode pool must surface the exception to
+    # the consumer instead of deadlocking the train loop (regression).
+    from driving_dirty_tpu.data.pipeline import Loader
+
+    class Bad:
+        def __len__(self):
+            return 4
+
+        def __getitem__(self, i):
+            raise FileNotFoundError(f"missing item {i}")
+
+    with pytest.raises(FileNotFoundError):
+        for _ in Loader(Bad(), batch_size=2, num_workers=2):
+            pass
