@@ -12,9 +12,24 @@ SURVEY.md §5.6) plus the model-specific flags from `add_model_specific_args`.
 from __future__ import annotations
 
 import argparse
+import os
 import random
 
 import numpy as np
+import jax
+
+
+def enable_compilation_cache(path: str | None = None):
+    """Persist XLA compilations across processes (first compiles of the big
+    detection programs take minutes on a tunneled TPU; cached reloads are
+    seconds). Called by every CLI entry point."""
+    path = path or os.environ.get("DD_COMPILATION_CACHE", "/tmp/dd_jax_cache")
+    try:
+        jax.config.update("jax_compilation_cache_dir", path)
+        jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:
+        pass
 
 from driving_dirty_tpu.parallel import mesh as mesh_lib
 from driving_dirty_tpu.train.trainer import Trainer
@@ -44,6 +59,7 @@ def add_trainer_args(parser: argparse.ArgumentParser) -> argparse.ArgumentParser
 
 
 def trainer_from_args(args) -> Trainer:
+    enable_compilation_cache()
     mesh_lib.initialize_distributed(getattr(args, "num_nodes", 1))
     mesh = None
     gpus = getattr(args, "gpus", None)

@@ -1,0 +1,139 @@
+"""Faster-RCNN bounding-box tasks.
+
+Re-designs of /root/reference/src/bounding_box_model/fast_rcnn/
+{bb_fast_rcnn,bb_fast_rcnn_w_map}.py (SURVEY.md §2.7):
+
+  BBFasterRCNN      ("faster_rcnn"): six views -> square BEV-layout image
+                    (ops.maps.layout_images_as_map) -> frozen SSL encoder c3
+                    backbone -> RPN + ROI heads (nn.detection), 9 classes.
+  FasterRCNNRoadMap ("faster_rcnn_rm", the registry default submit.py:25):
+                    additionally fuses the GT road map as a 4th channel
+                    through mapper_cnn Conv(4->3) + sigmoid before the
+                    backbone (bb_fast_rcnn_w_map.py:71,237-245).
+
+Box targets: meter-space [N, 2, 4] corners -> pixel AABB [x0, y0, x1, y1] via
+ops.coords.corners_to_aabb (the reference's _old_to_new_coord). Labels are raw
+category ids as the reference feeds them.
+
+Validation: the reference returns `val_loss = -current_epoch` so Lightning's
+min-val_loss checkpointing keeps the latest epoch (bb_fast_rcnn_w_map.py:278
+— a hack). Our Trainer always keeps last.ckpt, so validation here reports the
+real eval-mode losses instead; keep-latest behavior is preserved by design.
+"""
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from driving_dirty_tpu.models.labeled_data import LabeledDataMixin, add_labeled_data_args
+from driving_dirty_tpu.models.pretrained import init_backbone, load_pretrained_ae
+from driving_dirty_tpu.nn.detection import DetectionConfig, FasterRCNNHead
+from driving_dirty_tpu.core import layers as L
+from driving_dirty_tpu.ops.coords import corners_to_aabb
+from driving_dirty_tpu.ops.maps import layout_images_as_map
+from driving_dirty_tpu.train.task import Task, hp
+
+
+class BBFasterRCNN(LabeledDataMixin, Task):
+    name = "faster_rcnn"
+    uses_roadmap = False
+
+    def __init__(self, hparams=None):
+        super().__init__(hparams)
+        h = self.hparams
+        self.batch_size = hp(h, "batch_size", 6)
+        self.unfreeze_epoch_no = hp(h, "unfreeze_epoch_no", 10) or 10
+        self.ae, self._ae_params, self._ae_state = load_pretrained_ae(h)
+        self.cfg = DetectionConfig(
+            image_size=hp(h, "image_size", 800),
+            rpn_pre_nms_top_n=hp(h, "rpn_pre_nms_top_n", 2000),
+            rpn_post_nms_top_n=hp(h, "rpn_post_nms_top_n", 1000),
+            box_batch_per_image=hp(h, "box_batch_per_image", 512),
+        )
+        self.head = FasterRCNNHead(self.cfg)
+        if self.uses_roadmap:
+            self.mapper_cnn = L.Conv2d(4, 3, 3, 1, 1)
+
+    # --- model -----------------------------------------------------------
+    def init(self, rng):
+        k_bb, k_head, k_map = jax.random.split(rng, 3)
+        bb_p, bb_s = init_backbone(self.ae, self._ae_params, self._ae_state, k_bb)
+        params = {"encoder": bb_p["encoder"], "head": self.head.init(k_head)}
+        if self.uses_roadmap:
+            params["mapper_cnn"] = self.mapper_cnn.init(k_map)
+        return params, {"encoder": bb_s["encoder"]}
+
+    def backbone_features(self, params, state, images, road, *, train: bool, rng):
+        """Six views -> square layout -> (fused) -> frozen encoder c3 features."""
+        square = layout_images_as_map(images, size=self.cfg.image_size)  # [b, S, S, 3]
+        if self.uses_roadmap:
+            x = jnp.concatenate([square, road[..., None]], axis=-1)
+            x = jax.nn.sigmoid(self.mapper_cnn.apply(params["mapper_cnn"], x))
+        else:
+            x = square
+        feats, se = self.ae.encoder.apply(
+            params["encoder"], state["encoder"], x, train=train, rng=rng, c3_only=True
+        )
+        return feats, {"encoder": se}
+
+    def _targets(self, batch):
+        gt_boxes = corners_to_aabb(batch["boxes"])  # [b, G, 4] pixel xyxy
+        return gt_boxes, batch["box_valid"], batch["categories"].astype(jnp.int32)
+
+    def loss(self, params, state, batch, rng, *, train: bool):
+        k_bb, k_det = jax.random.split(rng)
+        feats, new_state = self.backbone_features(
+            params, state, batch["images"], batch.get("road"), train=train, rng=k_bb
+        )
+        gt_boxes, gt_valid, gt_labels = self._targets(batch)
+        losses = self.head.forward_train(
+            params["head"], feats, gt_boxes, gt_valid, gt_labels, k_det
+        )
+        total = sum(losses.values())
+        return total, (new_state, losses)
+
+    def predict(self, params, state, images, road=None, rng=None):
+        """-> detections dict (pixel xyxy boxes, scores, labels, valid)."""
+        rng = jax.random.PRNGKey(0) if rng is None else rng
+        feats, _ = self.backbone_features(params, state, images, road, train=False, rng=rng)
+        return self.head.forward_eval(params["head"], feats)
+
+    # --- optimization ----------------------------------------------------
+    def learning_rate(self):
+        return hp(self.hparams, "learning_rate", 1e-3)
+
+    def freeze_mask(self, params, epoch: int):
+        if epoch >= self.unfreeze_epoch_no:
+            return None
+        enc_frozen = jax.tree.map(lambda _: False, params["encoder"])
+        rest = {k: jax.tree.map(lambda _: True, v) for k, v in params.items() if k != "encoder"}
+        return {"encoder": enc_frozen, **rest}
+
+    # --- CLI -------------------------------------------------------------
+    @staticmethod
+    def add_model_specific_args(parser):
+        parser.add_argument("--learning_rate", type=float, default=1e-3)
+        parser.add_argument("--batch_size", type=int, default=6)
+        parser.add_argument("--unfreeze_epoch_no", type=int, default=10)
+        parser.add_argument("--max_bb", type=int, default=100)
+        parser.add_argument("--rpn_pre_nms_top_n", type=int, default=2000)
+        parser.add_argument("--rpn_post_nms_top_n", type=int, default=1000)
+        parser.add_argument("--box_batch_per_image", type=int, default=512)
+        parser.add_argument("--mse_loss", action="store_true", default=False)
+        add_labeled_data_args(parser)
+        return parser
+
+
+class FasterRCNNRoadMap(BBFasterRCNN):
+    """faster_rcnn_rm: + GT roadmap fused as a 4th input channel
+    (bb_fast_rcnn_w_map.py:71,237-245)."""
+
+    name = "faster_rcnn_rm"
+    uses_roadmap = True
+
+    @staticmethod
+    def add_model_specific_args(parser):
+        BBFasterRCNN.add_model_specific_args(parser)
+        # reference CLI defaults differ: output_img_freq 100 (bb_fast_rcnn_w_map.py:353)
+        parser.set_defaults(output_img_freq=100)
+        return parser

@@ -58,8 +58,8 @@ def decode(deltas, anchors, weights=(1.0, 1.0, 1.0, 1.0), clip_exp=4.135):
     wx, wy, ww, wh = weights
     dx = deltas[..., 0] / wx
     dy = deltas[..., 1] / wy
-    dw = jnp.clip(deltas[..., 2] / ww, a_max=clip_exp)
-    dh = jnp.clip(deltas[..., 3] / wh, a_max=clip_exp)
+    dw = jnp.clip(deltas[..., 2] / ww, max=clip_exp)
+    dh = jnp.clip(deltas[..., 3] / wh, max=clip_exp)
     x = dx * wa + xa
     y = dy * ha + ya
     w = jnp.exp(dw) * wa

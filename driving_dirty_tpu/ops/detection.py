@@ -28,31 +28,31 @@ def base_anchors(sizes=(32, 64, 128, 256, 512), ratios=(0.5, 1.0, 2.0)):
     """[A, 4] zero-centered xyxy anchors, A = len(sizes) * len(ratios).
 
     Same parameterization as torchvision's AnchorGenerator (h = s*sqrt(r),
-    w = s/sqrt(r)), the config used at bb_fast_rcnn.py:61-62."""
+    w = s/sqrt(r)), the config used at bb_fast_rcnn.py:61-62. Computed in
+    numpy so results are concrete constants even when called under a trace
+    (they are cached across jit calls by FasterRCNNHead)."""
+    import numpy as np
+
     out = []
     for s in sizes:
         for r in ratios:
             h = s * (r ** 0.5)
             w = s / (r ** 0.5)
             out.append([-w / 2, -h / 2, w / 2, h / 2])
-    return jnp.asarray(out, jnp.float32)
+    return np.asarray(out, np.float32)
 
 
 def grid_anchors(feat_h: int, feat_w: int, stride: int, cell_anchors=None):
-    """[feat_h * feat_w * A, 4] anchors for one feature level."""
+    """[feat_h * feat_w * A, 4] anchors for one feature level (concrete numpy)."""
+    import numpy as np
+
     if cell_anchors is None:
         cell_anchors = base_anchors()
-    ys = (jnp.arange(feat_h, dtype=jnp.float32) * stride)[:, None]
-    xs = (jnp.arange(feat_w, dtype=jnp.float32) * stride)[None, :]
-    shifts = jnp.stack(
-        [
-            jnp.broadcast_to(xs, (feat_h, feat_w)),
-            jnp.broadcast_to(ys, (feat_h, feat_w)),
-            jnp.broadcast_to(xs, (feat_h, feat_w)),
-            jnp.broadcast_to(ys, (feat_h, feat_w)),
-        ],
-        axis=-1,
-    )  # [H, W, 4]
+    cell_anchors = np.asarray(cell_anchors, np.float32)
+    ys = (np.arange(feat_h, dtype=np.float32) * stride)[:, None]
+    xs = (np.arange(feat_w, dtype=np.float32) * stride)[None, :]
+    zz = np.zeros((feat_h, feat_w), np.float32)
+    shifts = np.stack([xs + zz, ys + zz, xs + zz, ys + zz], axis=-1)  # [H, W, 4]
     anchors = shifts[:, :, None, :] + cell_anchors[None, None, :, :]
     return anchors.reshape(-1, 4)
 
@@ -80,31 +80,36 @@ def match_anchors(
     """
     n = anchors.shape[0]
 
-    def body(carry, gt):
+    def pass1(carry, gt):
         best_iou, best_idx, idx = carry
         box, valid = gt
-        iou = pairwise_iou(anchors, box[None])[:, 0]
-        iou = jnp.where(valid, iou, 0.0)
+        iou = jnp.where(valid, pairwise_iou(anchors, box[None])[:, 0], 0.0)
         better = iou > best_iou
         best_iou = jnp.where(better, iou, best_iou)
         best_idx = jnp.where(better, idx, best_idx)
-        # the max IoU this gt achieves over all anchors (for force-match)
-        gt_best = jnp.max(iou)
-        return (best_iou, best_idx, idx + 1), (gt_best, iou)
+        return (best_iou, best_idx, idx + 1), jnp.max(iou)
 
     init = (jnp.zeros(n), jnp.zeros(n, jnp.int32), jnp.asarray(0, jnp.int32))
-    (best_iou, best_idx, _), (gt_best_iou, ious) = lax.scan(
-        body, init, (gt_boxes, gt_valid)
-    )
+    (best_iou, best_idx, _), gt_best_iou = lax.scan(pass1, init, (gt_boxes, gt_valid))
 
     labels = jnp.where(best_iou >= high_thresh, 1, jnp.where(best_iou < low_thresh, 0, -1))
     if force_match_gt:
-        # anchor i becomes positive if it ties some valid gt's best IoU
-        # (ious: [n_gt, n_anchors])
-        is_best = (ious >= gt_best_iou[:, None] - 1e-7) & (gt_best_iou[:, None] > 0) & gt_valid[:, None]
-        forced = jnp.any(is_best, axis=0)
+        # Second pass recomputes each gt's IoU row and ORs its argmax-tie set
+        # into `forced` — per-anchor state only, never the [n_gt, n] matrix
+        # (which would be ~1GB at 2.4M anchors x 100 gts).
+        def pass2(carry, gt):
+            forced, forced_gt, idx = carry
+            box, valid, gbest = gt
+            iou = jnp.where(valid, pairwise_iou(anchors, box[None])[:, 0], 0.0)
+            is_best = (iou >= gbest - 1e-7) & (gbest > 0) & valid
+            forced_gt = jnp.where(is_best & ~forced, idx, forced_gt)
+            return (forced | is_best, forced_gt, idx + 1), None
+
+        init2 = (jnp.zeros(n, bool), jnp.zeros(n, jnp.int32), jnp.asarray(0, jnp.int32))
+        (forced, forced_gt, _), _ = lax.scan(
+            init=init2, f=pass2, xs=(gt_boxes, gt_valid, gt_best_iou)
+        )
         labels = jnp.where(forced, 1, labels)
-        forced_gt = jnp.argmax(is_best, axis=0)
         best_idx = jnp.where(forced & (best_iou <= 0), forced_gt, best_idx)
     no_gt = ~jnp.any(gt_valid)
     labels = jnp.where(no_gt, 0, labels)
@@ -183,14 +188,16 @@ def nms_fixed(boxes, scores, iou_threshold: float, max_out: int):
 # RoIAlign
 # ---------------------------------------------------------------------------
 def roi_align(features, rois, output_size: int = 7, spatial_scale: float = 1.0,
-              sampling_ratio: int = 2):
+              sampling_ratio: int = 2, aligned: bool = False):
     """RoIAlign on a single NHWC feature map.
 
     features [H, W, C]; rois [R, 4] xyxy in image coords -> [R, out, out, C].
     Matches torchvision's MultiScaleRoIAlign semantics for one level
     (bb_fast_rcnn.py:65-68): each output bin averages sampling_ratio^2
-    bilinear samples. Implemented as one batched gather + lerp over all
-    R * out * out * s^2 sample points — a single fused XLA gather, no loops.
+    bilinear samples; `aligned` selects the half-pixel-offset variant
+    (torchvision default False in the 0.5/0.6 era the reference targets).
+    Implemented as one batched gather + lerp over all R * out * out * s^2
+    sample points — a single fused XLA gather, no loops.
     """
     H, W, C = features.shape
     r = rois * spatial_scale
@@ -206,11 +213,14 @@ def roi_align(features, rois, output_size: int = 7, spatial_scale: float = 1.0,
     xs = x0[:, None, None] + (iy[None, :, None] + off[None, None, :]) * bin_w[:, None, None]
     ys = ys.reshape(ys.shape[0], -1)  # [R, out*s]
     xs = xs.reshape(xs.shape[0], -1)
+    if aligned:
+        ys = ys - 0.5
+        xs = xs - 0.5
 
     def bilinear(yy, xx):
         # yy [R, P], xx [R, Q] -> samples [R, P, Q, C]
-        yy = jnp.clip(yy - 0.5, 0.0, H - 1.0)  # align_corners=False convention
-        xx = jnp.clip(xx - 0.5, 0.0, W - 1.0)
+        yy = jnp.clip(yy, 0.0, H - 1.0)
+        xx = jnp.clip(xx, 0.0, W - 1.0)
         y0i = jnp.floor(yy).astype(jnp.int32)
         x0i = jnp.floor(xx).astype(jnp.int32)
         y1i = jnp.minimum(y0i + 1, H - 1)

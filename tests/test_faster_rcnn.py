@@ -1,0 +1,103 @@
+"""Faster-RCNN task tests: loss computation, gradients, eval detections.
+
+Uses a small DetectionConfig (fewer proposals) to keep CPU runtime sane; the
+full-size config is exercised on TPU by the CLI/bench paths.
+"""
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from driving_dirty_tpu.models.faster_rcnn import BBFasterRCNN, FasterRCNNRoadMap
+from driving_dirty_tpu.nn.detection import DetectionConfig, FasterRCNNHead
+
+TINY = dict(
+    batch_size=1, learning_rate=1e-3, pretrained_path=None,
+    ae_hidden_dim=8, ae_latent_dim=8, max_bb=8,
+    image_size=128, rpn_pre_nms_top_n=200, rpn_post_nms_top_n=64,
+    box_batch_per_image=32,
+)
+
+
+def _batch(b=1, max_bb=8, img=128):
+    rng = np.random.RandomState(0)
+    boxes = np.zeros((b, max_bb, 2, 4), np.float32)
+    valid = np.zeros((b, max_bb), bool)
+    cats = np.zeros((b, max_bb), np.int32)
+    # two real boxes in meters
+    boxes[:, 0, 0] = [5, 5, -5, -5]
+    boxes[:, 0, 1] = [5, -5, 5, -5]
+    boxes[:, 1, 0] = [20, 20, 12, 12]
+    boxes[:, 1, 1] = [-10, -18, -10, -18]
+    valid[:, :2] = True
+    cats[:, 0], cats[:, 1] = 3, 7
+    return {
+        "images": jnp.asarray(rng.rand(b, 6, 64, 76, 3).astype(np.float32)),
+        "boxes": jnp.asarray(boxes),
+        "box_valid": jnp.asarray(valid),
+        "categories": jnp.asarray(cats),
+        "road": jnp.asarray((rng.rand(b, img, img) > 0.5).astype(np.float32)),
+    }
+
+
+def test_head_shapes_small_config():
+    cfg = DetectionConfig(image_size=64, rpn_pre_nms_top_n=50, rpn_post_nms_top_n=20)
+    head = FasterRCNNHead(cfg)
+    params = head.init(jax.random.PRNGKey(0))
+    feats = jnp.asarray(np.random.RandomState(1).randn(2, 32, 32, 32).astype(np.float32))
+    obj, dl = head.rpn_forward(params, feats)
+    n = 32 * 32 * 15
+    assert obj.shape == (2, n) and dl.shape == (2, n, 4)
+    rois, rv, rs = head.proposals(obj, dl, train=False)
+    assert rois.shape == (2, 20, 4) and rv.shape == (2, 20)
+    dets = head.forward_eval(params, feats)
+    assert dets["boxes"].shape == (2, 100, 4)
+    assert dets["valid"].dtype == bool
+
+
+@pytest.mark.parametrize("cls", [BBFasterRCNN, FasterRCNNRoadMap])
+def test_faster_rcnn_loss_finite_and_grads_flow(cls):
+    task = cls(TINY)
+    params, state = task.init(jax.random.PRNGKey(0))
+    batch = _batch(img=TINY["image_size"])
+
+    def loss_fn(p):
+        loss, (ns, metrics) = task.loss(p, state, batch, jax.random.PRNGKey(1), train=True)
+        return loss, metrics
+
+    (loss, metrics), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
+    assert np.isfinite(float(loss))
+    for k in ("loss_classifier", "loss_box_reg", "loss_objectness", "loss_rpn_box_reg"):
+        assert k in metrics and np.isfinite(float(metrics[k])), k
+    # grads reach the detection head
+    g = np.asarray(grads["head"]["rpn_conv"]["w"])
+    assert np.abs(g).sum() > 0
+    g2 = np.asarray(grads["head"]["cls_score"]["w"])
+    assert np.abs(g2).sum() > 0
+    if cls.uses_roadmap:
+        assert np.abs(np.asarray(grads["mapper_cnn"]["w"])).sum() > 0
+
+
+def test_faster_rcnn_predict_detections():
+    task = BBFasterRCNN(TINY)
+    params, state = task.init(jax.random.PRNGKey(0))
+    batch = _batch(img=TINY["image_size"])
+    dets = task.predict(params, state, batch["images"])
+    assert dets["boxes"].shape[2] == 4
+    assert dets["labels"].shape == dets["scores"].shape
+    v = np.asarray(dets["valid"])
+    s = np.asarray(dets["scores"])
+    assert (s[~v] == 0).all()
+    b = np.asarray(dets["boxes"])
+    assert (b >= 0).all() and (b <= TINY["image_size"]).all()
+
+
+def test_faster_rcnn_no_gt_boxes_still_trains():
+    task = BBFasterRCNN(TINY)
+    params, state = task.init(jax.random.PRNGKey(0))
+    batch = _batch(img=TINY["image_size"])
+    batch = dict(batch)
+    batch["box_valid"] = jnp.zeros_like(batch["box_valid"])
+    loss, (ns, metrics) = task.loss(params, state, batch, jax.random.PRNGKey(1), train=True)
+    assert np.isfinite(float(loss))
