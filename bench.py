@@ -34,13 +34,17 @@ def log(*a):
     print(*a, file=sys.stderr)
 
 
-def measure_tpu(batch=BATCH, iters=20, warmup=3):
+def measure_tpu(batch=BATCH, iters=20, warmup=3, precision=16):
     import jax
     import jax.numpy as jnp
 
+    from driving_dirty_tpu.cli.common import enable_compilation_cache
     from driving_dirty_tpu.models.roadmap import RoadMapBCEv2
 
-    task = RoadMapBCEv2(dict(pretrained_path=None, ae_hidden_dim=HID, ae_latent_dim=LAT))
+    enable_compilation_cache()
+    task = RoadMapBCEv2(
+        dict(pretrained_path=None, ae_hidden_dim=HID, ae_latent_dim=LAT, precision=precision)
+    )
     params, state = task.init(jax.random.PRNGKey(0))
 
     @jax.jit
@@ -67,7 +71,7 @@ def measure_tpu(batch=BATCH, iters=20, warmup=3):
         float(d)
     dt = time.perf_counter() - t0
     sps = batch * iters / dt
-    log(f"tpu: {sps:.2f} scenes/s ({iters}x batch {batch} in {dt:.2f}s) on {jax.devices()[0]}")
+    log(f"tpu[p{precision}]: {sps:.2f} scenes/s ({iters}x batch {batch} in {dt:.2f}s) on {jax.devices()[0]}")
     return sps
 
 
@@ -142,10 +146,11 @@ def main(argv=None):
     ap.add_argument("--rebaseline", action="store_true")
     ap.add_argument("--batch", type=int, default=BATCH)
     ap.add_argument("--iters", type=int, default=20)
+    ap.add_argument("--precision", type=int, default=16, choices=[16, 32])
     args = ap.parse_args(argv)
 
     baseline = get_baseline(args.rebaseline)
-    sps = measure_tpu(args.batch, args.iters)
+    sps = measure_tpu(args.batch, args.iters, precision=args.precision)
     print(
         json.dumps(
             {

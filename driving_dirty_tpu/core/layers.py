@@ -65,7 +65,9 @@ class Linear:
         }
 
     def apply(self, p, x):
-        return jnp.dot(x, p["w"], preferred_element_type=x.dtype) + p["b"]
+        # cast weights to the activation dtype so bf16 compute stays bf16 on
+        # the MXU (params are stored f32; XLA hoists the cast out of the loop)
+        return jnp.dot(x, p["w"].astype(x.dtype), preferred_element_type=x.dtype) + p["b"].astype(x.dtype)
 
 
 @dataclasses.dataclass(frozen=True)

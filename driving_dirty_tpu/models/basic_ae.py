@@ -47,6 +47,8 @@ class BasicAE(Task):
         self.batch_size = hp(h, "batch_size", 16)
         self.in_channels = hp(h, "in_channels", 3)
         self.mask_all_six = hp(h, "mask_all_six", False)
+        # --precision 16 -> bfloat16 activations on the MXU (params stay f32)
+        self.compute_dtype = jnp.bfloat16 if hp(h, "precision", 32) == 16 else jnp.float32
         self.encoder = Encoder(
             self.hidden_dim, self.latent_dim, self.in_channels, self.input_height, self.input_width
         )
@@ -64,6 +66,7 @@ class BasicAE(Task):
     def forward(self, params, state, x, *, train: bool, rng):
         """Full pretext forward: [b, 6, H, W, C] -> (y_hat, y, new_state)."""
         k_mask, k_enc, k_dec = jax.random.split(rng, 3)
+        x = x.astype(self.compute_dtype)
         x_masked, y = six_to_one_task(
             x, k_mask, num_maskable=6 if self.mask_all_six else 5
         )
@@ -78,7 +81,7 @@ class BasicAE(Task):
     def loss(self, params, state, batch, rng, *, train: bool):
         x = batch if not isinstance(batch, dict) else batch["images"]
         y_hat, y, new_state = self.forward(params, state, x, train=train, rng=rng)
-        loss = jnp.mean((y - y_hat) ** 2)  # F.mse_loss (autoencoder.py:91)
+        loss = jnp.mean((y.astype(jnp.float32) - y_hat.astype(jnp.float32)) ** 2)  # F.mse_loss (autoencoder.py:91)
         return loss, (new_state, {})
 
     # --- data ------------------------------------------------------------

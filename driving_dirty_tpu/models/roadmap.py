@@ -45,6 +45,7 @@ class RoadMapBase(LabeledDataMixin, Task):
         self.ae, self._ae_params, self._ae_state = load_pretrained_ae(h)
         self.latent_dim = self.ae.latent_dim
         self.fc1 = L.Linear(self.latent_dim, self.output_dim)
+        self.compute_dtype = jnp.bfloat16 if hp(h, "precision", 32) == 16 else jnp.float32
         ue = hp(h, "unfreeze_epoch_no", None)
         self.unfreeze_epoch_no = self.unfreeze_default if ue is None else ue
 
@@ -58,11 +59,12 @@ class RoadMapBase(LabeledDataMixin, Task):
 
     def forward(self, params, state, images, *, train: bool, rng):
         """[b, 6, H, W, C] -> (logits [b, 800, 800], probs, new_state)."""
-        x = wide_stitch(images)
+        x = wide_stitch(images.astype(self.compute_dtype))
         z, se = self.ae.encoder.apply(
             params["encoder"], state["encoder"], x, train=train, rng=rng
         )
         logits = self.fc1.apply(params["fc1"], z).reshape(z.shape[0], 800, 800)
+        logits = logits.astype(jnp.float32)  # losses/metrics in f32
         return logits, jax.nn.sigmoid(logits), {"encoder": se}
 
     def predict(self, params, state, images, rng=None):
@@ -89,6 +91,21 @@ class RoadMapBase(LabeledDataMixin, Task):
         if path[:4] == ("encoder", "fc1", "fc", "w"):
             return P("model", None)
         return None
+
+    # --- logging -----------------------------------------------------------
+    def log_images(self, params, state, batch, rng, step_name):
+        """Input pano + target/pred roadmaps (the reference's _log_rm_images
+        triptych, roadmap_bce_v2.py:110-123)."""
+        import jax.numpy as jnp
+        from driving_dirty_tpu.ops.stitch import wide_stitch
+
+        x = batch["images"][:1]
+        _, probs, _ = self.forward(params, state, x, train=False, rng=rng)
+        return {
+            f"{step_name}_input_images": jnp.clip(wide_stitch(x)[0], 0, 1),
+            f"{step_name}_target_roadmaps": batch["road"][0][..., None],
+            f"{step_name}_pred_roadmaps": jnp.round(probs[0])[..., None],
+        }
 
     # --- CLI -------------------------------------------------------------
     @staticmethod

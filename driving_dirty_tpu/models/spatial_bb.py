@@ -107,6 +107,22 @@ class BBSpatialModel(LabeledDataMixin, Task):
         rest = {k: jax.tree.map(lambda _: True, v) for k, v in params.items() if k != "encoder"}
         return {"encoder": enc_frozen, **rest}
 
+    # --- logging -----------------------------------------------------------
+    def log_images(self, params, state, batch, rng, step_name):
+        """Input + target/pred occupancy maps (spatial_model.py:126-134)."""
+        import jax.numpy as jnp
+        from driving_dirty_tpu.ops.stitch import wide_stitch
+
+        x = batch["images"][:1]
+        road = batch["road"][:1] if self.uses_roadmap else None
+        probs, _ = self.forward(params, state, x, road, train=False, rng=rng)
+        target = self._targets({k: v[:1] for k, v in batch.items()})
+        return {
+            f"{step_name}_input_images": jnp.clip(wide_stitch(x)[0], 0, 1),
+            f"{step_name}_target_bbs": target[0][..., None],
+            f"{step_name}_pred_bbs": probs[0][..., None],
+        }
+
     # --- CLI -------------------------------------------------------------
     @staticmethod
     def add_model_specific_args(parser):

@@ -187,6 +187,51 @@ def nms_fixed(boxes, scores, iou_threshold: float, max_out: int):
 # ---------------------------------------------------------------------------
 # RoIAlign
 # ---------------------------------------------------------------------------
+def _roi_sample_grid(features_shape, rois, output_size, spatial_scale,
+                     sampling_ratio, aligned):
+    """Shared forward/backward geometry: corner indices + bilinear weights.
+
+    -> (idx00, idx01, idx10, idx11 [R, P, Q] flattened y*W+x int32,
+        w00, w01, w10, w11 [R, P, Q] float32), P = Q = output_size * s.
+    """
+    H, W, _ = features_shape
+    r = rois * spatial_scale
+    x0, y0, x1, y1 = r[:, 0], r[:, 1], r[:, 2], r[:, 3]
+    bin_w = (x1 - x0) / output_size
+    bin_h = (y1 - y0) / output_size
+    s = sampling_ratio
+    off = (jnp.arange(s) + 0.5) / s
+    iy = jnp.arange(output_size)
+    ys = y0[:, None, None] + (iy[None, :, None] + off[None, None, :]) * bin_h[:, None, None]
+    xs = x0[:, None, None] + (iy[None, :, None] + off[None, None, :]) * bin_w[:, None, None]
+    ys = ys.reshape(ys.shape[0], -1)
+    xs = xs.reshape(xs.shape[0], -1)
+    if aligned:
+        ys = ys - 0.5
+        xs = xs - 0.5
+    yy = jnp.clip(ys, 0.0, H - 1.0)
+    xx = jnp.clip(xs, 0.0, W - 1.0)
+    y0i = jnp.floor(yy).astype(jnp.int32)
+    x0i = jnp.floor(xx).astype(jnp.int32)
+    y1i = jnp.minimum(y0i + 1, H - 1)
+    x1i = jnp.minimum(x0i + 1, W - 1)
+    wy = (yy - y0i)[:, :, None]  # [R, P, 1]
+    wx = (xx - x0i)[:, None, :]  # [R, 1, Q]
+    w00 = (1 - wy) * (1 - wx)
+    w01 = (1 - wy) * wx
+    w10 = wy * (1 - wx)
+    w11 = wy * wx
+    Yp0 = y0i[:, :, None]
+    Yp1 = y1i[:, :, None]
+    Xq0 = x0i[:, None, :]
+    Xq1 = x1i[:, None, :]
+    idx00 = Yp0 * W + Xq0
+    idx01 = Yp0 * W + Xq1
+    idx10 = Yp1 * W + Xq0
+    idx11 = Yp1 * W + Xq1
+    return (idx00, idx01, idx10, idx11), (w00, w01, w10, w11)
+
+
 def roi_align(features, rois, output_size: int = 7, spatial_scale: float = 1.0,
               sampling_ratio: int = 2, aligned: bool = False):
     """RoIAlign on a single NHWC feature map.
@@ -196,9 +241,130 @@ def roi_align(features, rois, output_size: int = 7, spatial_scale: float = 1.0,
     (bb_fast_rcnn.py:65-68): each output bin averages sampling_ratio^2
     bilinear samples; `aligned` selects the half-pixel-offset variant
     (torchvision default False in the 0.5/0.6 era the reference targets).
-    Implemented as one batched gather + lerp over all R * out * out * s^2
-    sample points — a single fused XLA gather, no loops.
+
+    Forward is one batched gather + lerp over all R * out * out * s^2 sample
+    points. Backward is a custom VJP: a 1-D segment-sum of the per-corner
+    contributions (the autodiff-generated 2-D scatter kernel crashes the
+    tunneled TPU worker for some inputs — verified empirically; the segment
+    formulation also schedules better). No gradient flows to `rois` (matching
+    torchvision's roi_align, which is non-differentiable w.r.t. boxes).
     """
+    return _roi_align_vjp(features, rois, output_size, spatial_scale,
+                          sampling_ratio, aligned)
+
+
+from functools import partial as _partial
+
+
+@_partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4, 5))
+def _roi_align_vjp(features, rois, output_size, spatial_scale, sampling_ratio, aligned):
+    return _roi_align_fwd_impl(features, rois, output_size, spatial_scale,
+                               sampling_ratio, aligned)
+
+
+def _roi_align_fwd_impl(features, rois, output_size, spatial_scale,
+                        sampling_ratio, aligned):
+    H, W, C = features.shape
+    s = sampling_ratio
+    (i00, i01, i10, i11), (w00, w01, w10, w11) = _roi_sample_grid(
+        features.shape, rois, output_size, spatial_scale, s, aligned
+    )
+    flat = features.reshape(H * W, C)
+    samples = (
+        flat[i00] * w00[..., None]
+        + flat[i01] * w01[..., None]
+        + flat[i10] * w10[..., None]
+        + flat[i11] * w11[..., None]
+    )  # [R, P, Q, C]
+    R = rois.shape[0]
+    samples = samples.reshape(R, output_size, s, output_size, s, C)
+    return jnp.mean(samples, axis=(2, 4))
+
+
+def _roi_align_fwd(features, rois, output_size, spatial_scale, sampling_ratio, aligned):
+    out = _roi_align_fwd_impl(features, rois, output_size, spatial_scale,
+                              sampling_ratio, aligned)
+    # shape/dtype residual as a zero-size token (static python values are not
+    # valid custom_vjp residuals)
+    return out, (jnp.zeros((0,) + features.shape, features.dtype), rois)
+
+
+def _roi_sample_coords(feat_shape, rois, output_size, spatial_scale,
+                       sampling_ratio, aligned):
+    """Continuous (clipped) sample-point coordinates ys/xs: [R, out*s] each."""
+    H, W = feat_shape[0], feat_shape[1]
+    r = rois * spatial_scale
+    x0, y0, x1, y1 = r[:, 0], r[:, 1], r[:, 2], r[:, 3]
+    bin_w = (x1 - x0) / output_size
+    bin_h = (y1 - y0) / output_size
+    s = sampling_ratio
+    off = (jnp.arange(s) + 0.5) / s
+    iy = jnp.arange(output_size)
+    ys = y0[:, None, None] + (iy[None, :, None] + off[None, None, :]) * bin_h[:, None, None]
+    xs = x0[:, None, None] + (iy[None, :, None] + off[None, None, :]) * bin_w[:, None, None]
+    ys = ys.reshape(ys.shape[0], -1)
+    xs = xs.reshape(xs.shape[0], -1)
+    if aligned:
+        ys = ys - 0.5
+        xs = xs - 0.5
+    return jnp.clip(ys, 0.0, H - 1.0), jnp.clip(xs, 0.0, W - 1.0)
+
+
+def _roi_align_bwd(output_size, spatial_scale, sampling_ratio, aligned, res, g):
+    """Scatter-free RoIAlign backward as dense separable matmuls.
+
+    Bilinear sampling is separable: S_r = Ry_r @ F @ Rx_r^T with interpolation
+    matrices Ry_r [P, H], Rx_r [Q, W] (two nonzeros per row). Hence
+    dF = sum_r Ry_r^T @ dS_r @ Rx_r — pure MXU matmuls, accumulated over roi
+    chunks. This replaces the autodiff scatter-add, which (a) crashes the
+    tunneled TPU worker for some inputs and (b) serializes badly on TPU; the
+    einsum form is the hardware-native formulation.
+    """
+    token, rois = res
+    feat_shape = token.shape[1:]
+    feat_dtype = token.dtype
+    H, W, C = feat_shape
+    s = sampling_ratio
+    R = rois.shape[0]
+    P = output_size * s
+    ys, xs = _roi_sample_coords(feat_shape, rois, output_size, spatial_scale, s, aligned)
+    # dense interpolation weights: tent function around each sample coordinate
+    hh = jnp.arange(H, dtype=ys.dtype)
+    ww = jnp.arange(W, dtype=xs.dtype)
+    Ry = jnp.clip(1.0 - jnp.abs(ys[:, :, None] - hh[None, None, :]), 0.0, 1.0)  # [R, P, H]
+    Rx = jnp.clip(1.0 - jnp.abs(xs[:, :, None] - ww[None, None, :]), 0.0, 1.0)  # [R, P, W]
+    gs = jnp.broadcast_to(
+        g[:, :, None, :, None, :] / (s * s),
+        (R, output_size, s, output_size, s, C),
+    ).reshape(R, P, P, C).astype(jnp.float32)
+
+    chunk = max(1, min(R, 64))
+    n_chunks = (R + chunk - 1) // chunk
+    pad = n_chunks * chunk - R
+    if pad:
+        Ry = jnp.concatenate([Ry, jnp.zeros((pad, P, H), Ry.dtype)])
+        Rx = jnp.concatenate([Rx, jnp.zeros((pad, P, W), Rx.dtype)])
+        gs = jnp.concatenate([gs, jnp.zeros((pad, P, P, C), gs.dtype)])
+    Ry = Ry.reshape(n_chunks, chunk, P, H)
+    Rx = Rx.reshape(n_chunks, chunk, P, W)
+    gs = gs.reshape(n_chunks, chunk, P, P, C)
+
+    def body(acc, args):
+        ry, rx, gg = args
+        t = jnp.einsum("rph,rpqc->rhqc", ry, gg, preferred_element_type=jnp.float32)
+        acc = acc + jnp.einsum("rhqc,rqw->hwc", t, rx, preferred_element_type=jnp.float32)
+        return acc, None
+
+    dF, _ = lax.scan(body, jnp.zeros((H, W, C), jnp.float32), (Ry, Rx, gs))
+    return dF.astype(feat_dtype), jnp.zeros_like(rois)
+
+
+_roi_align_vjp.defvjp(_roi_align_fwd, _roi_align_bwd)
+
+
+def _roi_align_old_gather(features, rois, output_size: int = 7, spatial_scale: float = 1.0,
+                          sampling_ratio: int = 2, aligned: bool = False):
+    """Reference gather implementation kept for tests (same forward values)."""
     H, W, C = features.shape
     r = rois * spatial_scale
     x0, y0, x1, y1 = r[:, 0], r[:, 1], r[:, 2], r[:, 3]

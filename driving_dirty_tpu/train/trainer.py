@@ -71,6 +71,7 @@ class Trainer:
         enable_progress_bar: bool = True,
         profile_dir: str | None = None,
         debug_nans: bool = False,
+        donate_buffers: bool | None = None,
     ):
         self.max_epochs = max_epochs
         self.root = default_root_dir
@@ -86,6 +87,14 @@ class Trainer:
         self.profile_dir = profile_dir
         if debug_nans:
             jax.config.update("jax_debug_nans", True)
+        if donate_buffers is None:
+            # The experimental tunneled 'axon' platform crashes its worker on
+            # donated-buffer reuse in large programs (verified empirically on
+            # the detection train step: step 2 with donation faults, without
+            # donation runs clean). Donation halves peak param memory, so keep
+            # it on for real tpu/cpu backends.
+            donate_buffers = jax.default_backend() not in ("axon",)
+        self.donate_buffers = donate_buffers
         self.global_step = 0
 
     # ------------------------------------------------------------------
@@ -94,26 +103,44 @@ class Trainer:
         return base
 
     def _make_train_step(self, task, tx):
-        def train_step(params, opt_state, state, grad_mask, batch, rng):
+        def grad_fn(params, state, batch, rng):
             def loss_fn(p):
                 loss, (new_state, metrics) = task.loss(p, state, batch, rng, train=True)
                 return loss, (new_state, metrics)
 
             (loss, (new_state, metrics)), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
-            grads = jax.tree.map(lambda g, m: g * m, grads, grad_mask)
-            updates, opt_state = tx.update(grads, opt_state, params)
-            params = optax.apply_updates(params, updates)
             metrics = dict(metrics)
             metrics["loss"] = loss
+            return grads, new_state, metrics
+
+        def update_fn(params, opt_state, grads, grad_mask):
+            grads = jax.tree.map(lambda g, m: g * m, grads, grad_mask)
+            updates, opt_state = tx.update(grads, opt_state, params)
+            return optax.apply_updates(params, updates), opt_state
+
+        def fused(params, opt_state, state, grad_mask, batch, rng):
+            grads, new_state, metrics = grad_fn(params, state, batch, rng)
+            params, opt_state = update_fn(params, opt_state, grads, grad_mask)
             return params, opt_state, new_state, metrics
 
-        donate = (0, 1, 2)
-        if self.mesh is not None:
-            # Batches arrive sharded on 'data'; params/opt_state keep their
-            # placement (task sharding rules or replicated). XLA derives the
-            # gradient psum from the shardings — no explicit collectives.
-            return jax.jit(train_step, donate_argnums=donate)
-        return jax.jit(train_step, donate_argnums=donate)
+        # Batches arrive sharded on 'data' under a mesh; params/opt_state keep
+        # their placement (task sharding rules or replicated). XLA derives the
+        # gradient psum from the shardings — no explicit collectives.
+        if self.donate_buffers:
+            return jax.jit(fused, donate_argnums=(0, 1, 2))
+        # Split-program mode (axon): the fused grad+update program miscompiles
+        # on the tunneled TPU for some inputs (worker crash, observed on the
+        # detection step); two separately-compiled programs run clean and
+        # compile faster. Costs one extra HBM round trip of the grads.
+        jg = jax.jit(grad_fn)
+        ju = jax.jit(update_fn, donate_argnums=(2,))
+
+        def split(params, opt_state, state, grad_mask, batch, rng):
+            grads, new_state, metrics = jg(params, state, batch, rng)
+            params, opt_state = ju(params, opt_state, grads, grad_mask)
+            return params, opt_state, new_state, metrics
+
+        return split
 
     def _make_val_step(self, task):
         def val_step(params, state, batch, rng):
@@ -192,6 +219,17 @@ class Trainer:
                     logger.log_scalars(
                         {k: v for k, v in metrics.items()}, self.global_step, prefix="train_"
                     )
+                # periodic image logging (reference: every --output_img_freq
+                # batches, e.g. autoencoder.py:87-88); runs eagerly off the
+                # compiled path at low cadence
+                img_freq = getattr(task.hparams, "output_img_freq", 0) or 0
+                if img_freq and batch_idx % img_freq == 0:
+                    try:
+                        images = task.log_images(params, state, batch, step_rng, "train")
+                        for name, img in (images or {}).items():
+                            logger.log_image(name, np.asarray(img), self.global_step)
+                    except NotImplementedError:
+                        pass
                 self.global_step += 1
             jax.tree.map(
                 lambda x: x.block_until_ready() if hasattr(x, "block_until_ready") else x,
