@@ -26,7 +26,7 @@ import numpy as np
 
 BASELINE_CACHE = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BASELINE_SELF.json")
 HID, LAT = 128, 64
-BATCH = 16
+BATCH = 128
 H, W = 256, 306
 
 
@@ -49,8 +49,8 @@ def measure_tpu(batch=BATCH, iters=20, warmup=3, precision=16):
 
     @jax.jit
     def predict(params, state, images):
-        _, probs, _ = task.forward(params, state, images, train=False, rng=jax.random.PRNGKey(0))
-        mask = probs > 0.5
+        logits, _, _ = task.forward(params, state, images, train=False, rng=jax.random.PRNGKey(0))
+        mask = logits > 0  # == sigmoid > 0.5
         # scalar digest fetched host-side: forces real completion per batch
         # (block_until_ready is unreliable on the tunneled platform)
         return mask, jnp.sum(mask)
@@ -61,7 +61,7 @@ def measure_tpu(batch=BATCH, iters=20, warmup=3, precision=16):
     # Double-buffered consumer: keep a small pipeline of dispatched batches in
     # flight, but *every* output is synced to host — honest throughput.
     inflight = []
-    depth = 4
+    depth = 8
     t0 = time.perf_counter()
     for _ in range(iters):
         inflight.append(predict(params, state, x)[1])

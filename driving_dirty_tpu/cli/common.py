@@ -54,6 +54,7 @@ def add_trainer_args(parser: argparse.ArgumentParser) -> argparse.ArgumentParser
     g.add_argument("--log_every_n_steps", type=int, default=50)
     g.add_argument("--seed", type=int, default=REFERENCE_SEED)
     g.add_argument("--profile_dir", type=str, default=None)
+    g.add_argument("--checkpoint_every_n_steps", type=int, default=None)
     g.add_argument("--debug", action="store_true", help="enable jax debug_nans")
     return parser
 
@@ -76,6 +77,7 @@ def trainer_from_args(args) -> Trainer:
         seed=args.seed,
         profile_dir=args.profile_dir,
         debug_nans=getattr(args, "debug", False),
+        checkpoint_every_n_steps=getattr(args, "checkpoint_every_n_steps", None),
     )
 
 

@@ -68,10 +68,13 @@ class RoadMapBase(LabeledDataMixin, Task):
         return logits, jax.nn.sigmoid(logits), {"encoder": se}
 
     def predict(self, params, state, images, rng=None):
-        """Inference entry: -> binary [b, 800, 800] mask (threshold 0.5)."""
+        """Inference entry: -> binary [b, 800, 800] mask (threshold 0.5).
+
+        Thresholds raw logits at 0 (== sigmoid > 0.5, sigmoid being monotonic)
+        so inference skips the 640k-wide transcendental per scene."""
         rng = jax.random.PRNGKey(0) if rng is None else rng
-        _, probs, _ = self.forward(params, state, images, train=False, rng=rng)
-        return (probs > 0.5).astype(jnp.float32)
+        logits, _, _ = self.forward(params, state, images, train=False, rng=rng)
+        return (logits > 0.0).astype(jnp.float32)
 
     # --- optimization ----------------------------------------------------
     def freeze_mask(self, params, epoch: int):

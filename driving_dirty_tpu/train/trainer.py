@@ -72,6 +72,7 @@ class Trainer:
         profile_dir: str | None = None,
         debug_nans: bool = False,
         donate_buffers: bool | None = None,
+        checkpoint_every_n_steps: int | None = None,
     ):
         self.max_epochs = max_epochs
         self.root = default_root_dir
@@ -95,7 +96,24 @@ class Trainer:
             # it on for real tpu/cpu backends.
             donate_buffers = jax.default_backend() not in ("axon",)
         self.donate_buffers = donate_buffers
+        self.checkpoint_every_n_steps = checkpoint_every_n_steps
+        self._preempted = False
         self.global_step = 0
+
+    def _install_preemption_handler(self):
+        """SIGTERM -> checkpoint at the next step boundary, then exit the fit
+        loop cleanly. TPU-native analog of the reference's Slurm
+        minutes_to_checkpoint_before_walltime=5 (submit.py:65, SURVEY.md §5.3):
+        preemptible TPU VMs deliver SIGTERM before reclaim."""
+        import signal
+
+        def handler(signum, frame):
+            self._preempted = True
+
+        try:
+            signal.signal(signal.SIGTERM, handler)
+        except ValueError:
+            pass  # not in the main thread; periodic checkpoints still apply
 
     # ------------------------------------------------------------------
     def _build_optimizer(self, task):
@@ -152,6 +170,7 @@ class Trainer:
     def fit(self, task, resume_from: str | None = None) -> FitResult:
         run_dir = os.path.join(self.root, task.name)
         logger = MetricsLogger(os.path.join(run_dir, "tb"))
+        self._install_preemption_handler()
         rng = jax.random.PRNGKey(self.seed)
         rng, init_rng = jax.random.split(rng)
 
@@ -203,7 +222,18 @@ class Trainer:
             t0 = time.perf_counter()
             n_scenes = 0
             n_batches = 0
+            profiling = False
             for batch_idx, (batch, bmask) in enumerate(it):
+                # SURVEY.md §5.1: first-class step profiling. Trace steps
+                # [2, 8) of epoch 0 (skipping compile) into --profile_dir for
+                # TensorBoard's profiler / xprof.
+                if self.profile_dir and epoch == 0:
+                    if batch_idx == 2 and not profiling:
+                        jax.profiler.start_trace(self.profile_dir)
+                        profiling = True
+                    elif batch_idx == 8 and profiling:
+                        jax.profiler.stop_trace()
+                        profiling = False
                 if self.limit_train_batches is not None and batch_idx >= self.limit_train_batches:
                     break
                 if self.mesh is not None:
@@ -231,6 +261,29 @@ class Trainer:
                     except NotImplementedError:
                         pass
                 self.global_step += 1
+                # mid-epoch / preemption checkpointing (SURVEY.md §5.3)
+                if self.enable_checkpointing and (
+                    self._preempted
+                    or (
+                        self.checkpoint_every_n_steps
+                        and self.global_step % self.checkpoint_every_n_steps == 0
+                    )
+                ):
+                    ckpt_io.save(
+                        os.path.join(run_dir, "last.ckpt"),
+                        params=params, state=state, hparams=vars(task.hparams),
+                        meta={"epoch": epoch - 1, "global_step": self.global_step,
+                              "task": task.name, "mid_epoch": True},
+                    )
+                if self._preempted:
+                    print(f"[{task.name}] preemption signal: checkpoint saved, stopping")
+                    logger.close()
+                    return FitResult(
+                        params, state, best_val,
+                        best_path, os.path.join(run_dir, "last.ckpt"), scenes_per_sec,
+                    )
+            if self.profile_dir and profiling:
+                jax.profiler.stop_trace()
             jax.tree.map(
                 lambda x: x.block_until_ready() if hasattr(x, "block_until_ready") else x,
                 jax.tree.leaves(params)[:1],

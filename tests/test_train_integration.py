@@ -96,3 +96,36 @@ def test_fit_on_virtual_8device_mesh(data_dir, tmp_path):
     )
     result = trainer.fit(task)
     assert np.isfinite(result.best_val_loss)
+
+
+def test_periodic_and_preemption_checkpointing(data_dir, tmp_path):
+    import os as _os
+
+    task = BasicAE(dict(link=data_dir, **TINY))
+    trainer = Trainer(
+        max_epochs=1,
+        default_root_dir=str(tmp_path / "logs"),
+        limit_train_batches=3,
+        limit_val_batches=0,
+        enable_progress_bar=False,
+        checkpoint_every_n_steps=2,
+    )
+    trainer.fit(task)
+    ckpt = tmp_path / "logs" / "basic_ae" / "last.ckpt"
+    assert ckpt.exists()
+    blob = ckpt_io.load(str(ckpt))
+    assert blob["meta"]["global_step"] >= 2
+
+    # preemption: SIGTERM-equivalent flag stops the loop after a checkpoint
+    trainer2 = Trainer(
+        max_epochs=5,
+        default_root_dir=str(tmp_path / "logs2"),
+        limit_train_batches=3,
+        limit_val_batches=0,
+        enable_progress_bar=False,
+    )
+    trainer2._preempted = True  # what the SIGTERM handler sets
+    result = trainer2.fit(task)
+    assert result.last_ckpt_path and _os.path.exists(result.last_ckpt_path)
+    blob = ckpt_io.load(result.last_ckpt_path)
+    assert blob["meta"].get("mid_epoch") is True
