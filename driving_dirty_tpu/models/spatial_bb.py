@@ -85,6 +85,12 @@ class BBSpatialModel(LabeledDataMixin, Task):
         return probs[..., 0], {"encoder": se}
 
     def _targets(self, batch):
+        # Pallas kernel on TPU (streams row tiles, no [N, 800, 800] mask stack,
+        # compiles in seconds); jnp path elsewhere (Mosaic is TPU-only).
+        if jax.default_backend() in ("tpu", "axon"):
+            from driving_dirty_tpu.pallas.raster import batched_boxes_to_binary_map
+
+            return batched_boxes_to_binary_map(batch["boxes"], batch["box_valid"])
         return jax.vmap(boxes_to_binary_map)(batch["boxes"], batch["box_valid"])
 
     def loss(self, params, state, batch, rng, *, train: bool):
