@@ -23,7 +23,20 @@ def enable_compilation_cache(path: str | None = None):
     """Persist XLA compilations across processes (first compiles of the big
     detection programs take minutes on a tunneled TPU; cached reloads are
     seconds). Called by every CLI entry point."""
-    path = path or os.environ.get("DD_COMPILATION_CACHE", "/tmp/dd_jax_cache")
+    if path is None:
+        path = os.environ.get("DD_COMPILATION_CACHE")
+    if path is None:
+        # Key by host CPU features: XLA:CPU AOT entries baked for another
+        # machine SIGILL on execution (cache key doesn't cover the target).
+        import hashlib
+
+        try:
+            with open("/proc/cpuinfo") as f:
+                flags = next((l for l in f if l.startswith("flags")), "")
+        except OSError:
+            flags = ""
+        fp = hashlib.sha1(flags.encode()).hexdigest()[:10]
+        path = f"/tmp/dd_jax_cache_{fp}"
     try:
         jax.config.update("jax_compilation_cache_dir", path)
         jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)

@@ -30,6 +30,8 @@ def _registry():
     from driving_dirty_tpu.models.roadmap import RoadMap, RoadMapBCEv2
     from driving_dirty_tpu.models.spatial_bb import BBSpatialModel, BBSpatialRoadMap
 
+    from driving_dirty_tpu.models.multitask import MultiTask
+
     names = {
         "basic_ae": BasicAE,
         "roadmap_mse": RoadMap,
@@ -37,6 +39,7 @@ def _registry():
         "spatial_bb": BBSpatialModel,
         "spatial_rm": BBSpatialRoadMap,
         "bb_mlp": Boxes,
+        "multitask": MultiTask,
     }
     try:
         from driving_dirty_tpu.models.faster_rcnn import BBFasterRCNN, FasterRCNNRoadMap
@@ -59,6 +62,7 @@ GRIDS = {
     "bb_mlp": {"learning_rate": [1e-3, 1e-4, 1e-5]},
     "faster_rcnn": {"learning_rate": [1e-3, 1e-4, 1e-5]},
     "faster_rcnn_rm": {"learning_rate": [1e-3, 1e-4, 1e-5], "unfreeze_epoch_no": [0, 10]},
+    "multitask": {"learning_rate": [1e-3, 1e-4], "box_loss_weight": [0.5, 1.0, 2.0]},
 }
 
 

@@ -64,15 +64,25 @@ class BasicAE(Task):
         return {"encoder": pe, "decoder": pd}, {"encoder": se, "decoder": sd}
 
     def forward(self, params, state, x, *, train: bool, rng):
-        """Full pretext forward: [b, 6, H, W, C] -> (y_hat, y, new_state)."""
+        """Full pretext forward: [b, 6, H, W, C] -> (y_hat, y, new_state).
+
+        Training remats the encoder (jax.checkpoint): XLA stores the wide
+        panorama conv activations in a heavily lane-padded layout (C=32 <
+        128), so keeping c1/c2 outputs for backward costs ~4x their logical
+        7GB at batch 32 — recomputing them is far cheaper than the HBM.
+        """
         k_mask, k_enc, k_dec = jax.random.split(rng, 3)
         x = x.astype(self.compute_dtype)
         x_masked, y = six_to_one_task(
             x, k_mask, num_maskable=6 if self.mask_all_six else 5
         )
-        z, se = self.encoder.apply(
-            params["encoder"], state["encoder"], x_masked, train=train, rng=k_enc
+        fast = (not train) and hp(self.hparams, "fast_conv", False)
+        enc_apply = lambda p, s, v: self.encoder.apply(
+            p, s, v, train=train, rng=k_enc, fast=fast
         )
+        if train and hp(self.hparams, "remat", True):
+            enc_apply = jax.checkpoint(enc_apply)
+        z, se = enc_apply(params["encoder"], state["encoder"], x_masked)
         y_hat, sd = self.decoder.apply(
             params["decoder"], state["decoder"], z, train=train, rng=k_dec
         )

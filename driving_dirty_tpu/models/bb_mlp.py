@@ -48,7 +48,8 @@ class Boxes(LabeledDataMixin, Task):
     def forward(self, params, state, images, *, train: bool, rng):
         pano = wide_stitch(images)
         z, se = self.ae.encoder.apply(
-            params["encoder"], state["encoder"], pano, train=train, rng=rng
+            params["encoder"], state["encoder"], pano, train=train, rng=rng,
+            fast=(not train) and hp(self.hparams, "fast_conv", False),
         )
         y = jax.nn.relu(self.fc1.apply(params["fc1"], z))
         y = self.fc2.apply(params["fc2"], y)

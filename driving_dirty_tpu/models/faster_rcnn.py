@@ -72,7 +72,8 @@ class BBFasterRCNN(LabeledDataMixin, Task):
         else:
             x = square
         feats, se = self.ae.encoder.apply(
-            params["encoder"], state["encoder"], x, train=train, rng=rng, c3_only=True
+            params["encoder"], state["encoder"], x, train=train, rng=rng, c3_only=True,
+            fast=(not train) and hp(self.hparams, "fast_conv", False),
         )
         return feats, {"encoder": se}
 

@@ -58,11 +58,18 @@ class RoadMapBase(LabeledDataMixin, Task):
         }
 
     def forward(self, params, state, images, *, train: bool, rng):
-        """[b, 6, H, W, C] -> (logits [b, 800, 800], probs, new_state)."""
+        """[b, 6, H, W, C] -> (logits [b, 800, 800], probs, new_state).
+
+        Training remats the encoder (see BasicAE.forward: the padded wide-conv
+        activations dominate HBM otherwise)."""
         x = wide_stitch(images.astype(self.compute_dtype))
-        z, se = self.ae.encoder.apply(
-            params["encoder"], state["encoder"], x, train=train, rng=rng
+        fast = (not train) and hp(self.hparams, "fast_conv", False)
+        enc_apply = lambda p, s, v: self.ae.encoder.apply(
+            p, s, v, train=train, rng=rng, fast=fast
         )
+        if train and hp(self.hparams, "remat", True):
+            enc_apply = jax.checkpoint(enc_apply)
+        z, se = enc_apply(params["encoder"], state["encoder"], x)
         logits = self.fc1.apply(params["fc1"], z).reshape(z.shape[0], 800, 800)
         logits = logits.astype(jnp.float32)  # losses/metrics in f32
         return logits, jax.nn.sigmoid(logits), {"encoder": se}

@@ -74,7 +74,8 @@ class BBSpatialModel(LabeledDataMixin, Task):
         spatial, _ = self.space_map_cnn.apply(params["space_map_cnn"], {}, images)
         pano = wide_stitch(images)
         ssr, se = self.ae.encoder.apply(
-            params["encoder"], state["encoder"], pano, train=train, rng=rng, c3_only=True
+            params["encoder"], state["encoder"], pano, train=train, rng=rng, c3_only=True,
+            fast=(not train) and hp(self.hparams, "fast_conv", False),
         )
         if self.uses_roadmap:
             probs, _ = self.box_merge.apply(

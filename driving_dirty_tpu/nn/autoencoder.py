@@ -125,13 +125,27 @@ class Encoder:
         state = {"fc1": s_fc1, "fc2": s_fc2}
         return params, state
 
-    def apply(self, params, state, x, *, train: bool, rng, c3_only: bool = False):
-        c1, c2, c3 = self._convs()
-        x = jax.nn.relu(c1.apply(params["c1"], x))
-        x = jax.nn.relu(c2.apply(params["c2"], x))
-        x = jax.nn.relu(c3.apply(params["c3"], x))
+    def apply(self, params, state, x, *, train: bool, rng, c3_only: bool = False,
+              with_c3: bool = False, fast: bool = False):
+        """-> (z, new_state); with c3_only -> (c3_map, state); with with_c3 ->
+        ((z, c3_map), new_state) — one conv-trunk pass feeding both the latent
+        path and the backbone tap (used by the joint multi-task model).
+
+        fast=True routes the conv trunk through the blocked space-to-depth
+        equivalent (ops/fastconv.py) — exact same math with both channel dims
+        on full 128 MXU lanes; the inference paths enable it."""
+        if fast and x.shape[1] % 2 == 0 and x.shape[2] % 2 == 0:
+            from driving_dirty_tpu.ops import fastconv
+
+            x = fastconv.encoder_convs_blocked(params, x)
+        else:
+            c1, c2, c3 = self._convs()
+            x = jax.nn.relu(c1.apply(params["c1"], x))
+            x = jax.nn.relu(c2.apply(params["c2"], x))
+            x = jax.nn.relu(c3.apply(params["c3"], x))
         if c3_only:
             return x, state
+        c3_map = x
         # torch flattens NCHW-contiguously (components.py:46); match it so the
         # imported fc1 weight ordering is identical.
         b = x.shape[0]
@@ -144,7 +158,10 @@ class Encoder:
         x, s1 = fc1.apply(params["fc1"], state["fc1"], x, train=train, rng=r1)
         x, s2 = fc2.apply(params["fc2"], state["fc2"], x, train=train, rng=r2)
         z = L.Linear(self.hidden_dim, self.latent_dim).apply(params["fc_z_out"], x)
-        return z, {"fc1": s1, "fc2": s2}
+        new_state = {"fc1": s1, "fc2": s2}
+        if with_c3:
+            return (z, c3_map), new_state
+        return z, new_state
 
 
 @dataclasses.dataclass(frozen=True)

@@ -303,10 +303,12 @@ class Trainer:
                     vs = ", ".join(f"{k}={float(v):.4f}" for k, v in val_metrics.items())
                     print(f"[{task.name}] epoch {epoch} val: {vs}")
 
+            monitored = float(val_metrics.get("val_loss", np.inf)) if val_metrics else np.inf
+            improved = monitored < best_val - 1e-8
+
             # ---- LR plateau schedule (host-side) ----
             if plateau and val_metrics:
-                monitored = float(val_metrics.get("val_loss", np.inf))
-                if monitored < best_val - 1e-8:
+                if improved:
                     plateau_wait = 0
                 else:
                     plateau_wait += 1
@@ -316,19 +318,20 @@ class Trainer:
                         plateau_wait = 0
                         logger.log_scalars({"learning_rate": lr}, self.global_step)
 
-            # ---- checkpointing ----
+            # ---- checkpointing (best tracking runs regardless) ----
             if self.enable_checkpointing:
                 meta = {"epoch": epoch, "global_step": self.global_step, "task": task.name}
                 last_path = os.path.join(run_dir, "last.ckpt")
                 ckpt_io.save(
                     last_path, params=params, state=state, hparams=vars(task.hparams), meta=meta
                 )
-                monitored = float(val_metrics.get("val_loss", np.inf)) if val_metrics else np.inf
-                if monitored < best_val:
-                    best_val = monitored
+            if monitored < best_val:
+                best_val = monitored
+                if self.enable_checkpointing:
                     best_path = os.path.join(run_dir, "best.ckpt")
                     ckpt_io.save(
-                        best_path, params=params, state=state, hparams=vars(task.hparams), meta=meta
+                        best_path, params=params, state=state, hparams=vars(task.hparams),
+                        meta={"epoch": epoch, "global_step": self.global_step, "task": task.name},
                     )
 
         logger.close()
