@@ -34,7 +34,7 @@ def log(*a):
     print(*a, file=sys.stderr)
 
 
-def measure_tpu(batch=BATCH, iters=20, warmup=3, precision=16, fast_conv=False):
+def measure_tpu(batch=BATCH, iters=20, warmup=3, precision=16, fast_conv=False, fast_head=False):
     import jax
     import jax.numpy as jnp
 
@@ -44,7 +44,7 @@ def measure_tpu(batch=BATCH, iters=20, warmup=3, precision=16, fast_conv=False):
     enable_compilation_cache()
     task = RoadMapBCEv2(
         dict(pretrained_path=None, ae_hidden_dim=HID, ae_latent_dim=LAT,
-             precision=precision, fast_conv=fast_conv)
+             precision=precision, fast_conv=fast_conv, fast_head=fast_head)
     )
     params, state = task.init(jax.random.PRNGKey(0))
 
@@ -150,10 +150,12 @@ def main(argv=None):
     ap.add_argument("--precision", type=int, default=16, choices=[16, 32])
     ap.add_argument("--fast_conv", type=int, default=0, choices=[0, 1],
                     help="blocked space-to-depth encoder convs (ops/fastconv.py)")
+    ap.add_argument("--fast_head", type=int, default=0, choices=[0, 1],
+                    help="transpose-free latent head (NHWC pool + folded dot_general)")
     args = ap.parse_args(argv)
 
     baseline = get_baseline(args.rebaseline)
-    sps = measure_tpu(args.batch, args.iters, precision=args.precision, fast_conv=bool(args.fast_conv))
+    sps = measure_tpu(args.batch, args.iters, precision=args.precision, fast_conv=bool(args.fast_conv), fast_head=bool(args.fast_head))
     print(
         json.dumps(
             {

@@ -94,7 +94,19 @@ def main(argv=None):
     parser.add_argument("--nb_hopt_trials", type=int, default=12)
     parser.add_argument("--emit_commands", action="store_true",
                         help="print one training command per trial instead of running")
+    # Reference cluster flags (submit.py:90-93). --on_cluster emitted Slurm
+    # jobs via test-tube; here it emits one shell command per trial for an
+    # external scheduler (trials are independent, SURVEY.md §2.9). --nodes
+    # maps to jax.distributed multi-host; --conda_env is recorded in emitted
+    # commands only.
+    parser.add_argument("--nodes", type=int, default=1)
+    parser.add_argument("--conda_env", type=str, default=None)
+    parser.add_argument("--on_cluster", action="store_true")
     args = parser.parse_args(argv)
+    if args.on_cluster:
+        args.emit_commands = True
+    if getattr(args, "num_nodes", 1) == 1 and args.nodes > 1:
+        args.num_nodes = args.nodes
     args.default_root_dir = os.path.join(args.logs_save_path, args.tt_name)
 
     trials = [{}] if args.single_run else grid_trials(args.model, args.nb_hopt_trials)
@@ -102,7 +114,8 @@ def main(argv=None):
     for i, overrides in enumerate(trials):
         if args.emit_commands:
             ov = " ".join(f"--{k} {v}" for k, v in overrides.items())
-            print(f"python -m driving_dirty_tpu.cli.submit --model {args.model} "
+            prefix = f"conda run -n {args.conda_env} " if args.conda_env else ""
+            print(f"{prefix}python -m driving_dirty_tpu.cli.submit --model {args.model} "
                   f"--single_run --tt_name {args.tt_name}_t{i} {ov}")
             continue
         trial_args = argparse.Namespace(**vars(args))

@@ -65,7 +65,8 @@ class RoadMapBase(LabeledDataMixin, Task):
         x = wide_stitch(images.astype(self.compute_dtype))
         fast = (not train) and hp(self.hparams, "fast_conv", False)
         enc_apply = lambda p, s, v: self.ae.encoder.apply(
-            p, s, v, train=train, rng=rng, fast=fast
+            p, s, v, train=train, rng=rng, fast=fast,
+            fast_head=hp(self.hparams, "fast_head", False),
         )
         if train and hp(self.hparams, "remat", True):
             enc_apply = jax.checkpoint(enc_apply)

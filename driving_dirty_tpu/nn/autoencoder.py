@@ -125,8 +125,33 @@ class Encoder:
         state = {"fc1": s_fc1, "fc2": s_fc2}
         return params, state
 
+    def _latent_head_fast(self, params, state, x, *, train: bool, rng):
+        """Latent path without the NCHW transpose: pooling groups of the
+        reference's flatten+max_pool1d(4) (components.py:46-47) are 4
+        consecutive raster positions WITHIN one channel (the 128x918=117504
+        element channel planes are divisible by 4), so the pool can run on
+        the NHWC map; the NCHW row order of the fc1 weight is folded into a
+        multi-axis dot_general contraction instead of shuffling the ~4GB
+        activation through HBM. Same terms, reassociated sum."""
+        b, hh, ww, cc = x.shape
+        g = hh * ww // self.pooling_size
+        p = jnp.max(x.reshape(b, g, self.pooling_size, cc), axis=2)  # [b, G, C]
+        fc1 = params["fc1"]
+        w = fc1["fc"]["w"].reshape(cc, g, self.hidden_dim).astype(p.dtype)
+        z = jax.lax.dot_general(
+            p, w, (((1, 2), (1, 0)), ((), ())), preferred_element_type=p.dtype
+        ) + fc1["fc"]["b"].astype(p.dtype)
+        r1, r2 = _split(rng, 2)
+        bn = L.BatchNorm(self.hidden_dim)
+        z, s1bn = bn.apply(fc1["bn"], state["fc1"]["bn"], z, train=train)
+        z = L.dropout(r1, jax.nn.relu(z), 0.2, train=train)
+        fc2 = DenseBlock(self.hidden_dim, self.hidden_dim)
+        z, s2 = fc2.apply(params["fc2"], state["fc2"], z, train=train, rng=r2)
+        z = L.Linear(self.hidden_dim, self.latent_dim).apply(params["fc_z_out"], z)
+        return z, {"fc1": {"bn": s1bn}, "fc2": s2}
+
     def apply(self, params, state, x, *, train: bool, rng, c3_only: bool = False,
-              with_c3: bool = False, fast: bool = False):
+              with_c3: bool = False, fast: bool = False, fast_head: bool = False):
         """-> (z, new_state); with c3_only -> (c3_map, state); with with_c3 ->
         ((z, c3_map), new_state) — one conv-trunk pass feeding both the latent
         path and the backbone tap (used by the joint multi-task model).
@@ -146,6 +171,9 @@ class Encoder:
         if c3_only:
             return x, state
         c3_map = x
+        if fast_head and (x.shape[1] * x.shape[2]) % self.pooling_size == 0:
+            z, new_state = self._latent_head_fast(params, state, x, train=train, rng=rng)
+            return ((z, c3_map), new_state) if with_c3 else (z, new_state)
         # torch flattens NCHW-contiguously (components.py:46); match it so the
         # imported fc1 weight ordering is identical.
         b = x.shape[0]

@@ -41,6 +41,22 @@ def test_blocked_s2_matches_plain_conv():
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref), rtol=1e-5, atol=1e-5)
 
 
+def test_encoder_fast_head_matches_apply():
+    # transpose-free latent head (NHWC pool + folded dot_general) == standard
+    enc = Encoder(hidden_dim=8, latent_dim=8, input_height=16, input_width=6 * 4)
+    params, state = enc.init(jax.random.PRNGKey(0))
+    x = _rand(7, (2, 16, 24, 3))
+    rng = jax.random.PRNGKey(1)
+    ref, ref_state = enc.apply(params, state, x, train=False, rng=rng)
+    got, got_state = enc.apply(params, state, x, train=False, rng=rng, fast_head=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), rtol=1e-4, atol=1e-5)
+    # BN state updates agree in train mode too
+    _, s_ref = enc.apply(params, state, x, train=True, rng=rng)
+    _, s_got = enc.apply(params, state, x, train=True, rng=rng, fast_head=True)
+    for a, b in zip(jax.tree.leaves(s_ref), jax.tree.leaves(s_got)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-5)
+
+
 def test_encoder_trunk_blocked_matches_apply():
     enc = Encoder(hidden_dim=8, latent_dim=8, input_height=16, input_width=6 * 4)
     params, state = enc.init(jax.random.PRNGKey(0))
