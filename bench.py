@@ -34,7 +34,7 @@ def log(*a):
     print(*a, file=sys.stderr)
 
 
-def measure_tpu(batch=BATCH, iters=20, warmup=3, precision=16, fast_conv=False, fast_head=False):
+def measure_tpu(batch=BATCH, iters=20, warmup=3, precision=16, fast_conv=False, fast_head=False, fused_trunk=None):
     import jax
     import jax.numpy as jnp
 
@@ -44,7 +44,8 @@ def measure_tpu(batch=BATCH, iters=20, warmup=3, precision=16, fast_conv=False, 
     enable_compilation_cache()
     task = RoadMapBCEv2(
         dict(pretrained_path=None, ae_hidden_dim=HID, ae_latent_dim=LAT,
-             precision=precision, fast_conv=fast_conv, fast_head=fast_head)
+             precision=precision, fast_conv=fast_conv, fast_head=fast_head,
+             fused_trunk=fused_trunk)
     )
     params, state = task.init(jax.random.PRNGKey(0))
 
@@ -152,10 +153,14 @@ def main(argv=None):
                     help="blocked space-to-depth encoder convs (ops/fastconv.py)")
     ap.add_argument("--fast_head", type=int, default=0, choices=[0, 1],
                     help="transpose-free latent head (NHWC pool + folded dot_general)")
+    ap.add_argument("--fused_trunk", type=int, default=None, choices=[0, 1],
+                    help="fused Pallas conv-trunk kernel (pallas/trunk.py); default auto (on for TPU)")
     args = ap.parse_args(argv)
 
     baseline = get_baseline(args.rebaseline)
-    sps = measure_tpu(args.batch, args.iters, precision=args.precision, fast_conv=bool(args.fast_conv), fast_head=bool(args.fast_head))
+    sps = measure_tpu(args.batch, args.iters, precision=args.precision,
+                      fast_conv=bool(args.fast_conv), fast_head=bool(args.fast_head),
+                      fused_trunk=args.fused_trunk)
     print(
         json.dumps(
             {

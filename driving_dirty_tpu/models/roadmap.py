@@ -64,9 +64,11 @@ class RoadMapBase(LabeledDataMixin, Task):
         activations dominate HBM otherwise)."""
         x = wide_stitch(images.astype(self.compute_dtype))
         fast = (not train) and hp(self.hparams, "fast_conv", False)
+        fused = hp(self.hparams, "fused_trunk", None)  # None = auto (TPU inference)
         enc_apply = lambda p, s, v: self.ae.encoder.apply(
             p, s, v, train=train, rng=rng, fast=fast,
             fast_head=hp(self.hparams, "fast_head", False),
+            fused=None if fused is None else bool(fused),
         )
         if train and hp(self.hparams, "remat", True):
             enc_apply = jax.checkpoint(enc_apply)

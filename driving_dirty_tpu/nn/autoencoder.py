@@ -151,15 +151,27 @@ class Encoder:
         return z, {"fc1": {"bn": s1bn}, "fc2": s2}
 
     def apply(self, params, state, x, *, train: bool, rng, c3_only: bool = False,
-              with_c3: bool = False, fast: bool = False, fast_head: bool = False):
+              with_c3: bool = False, fast: bool = False, fast_head: bool = False,
+              fused: bool | None = None):
         """-> (z, new_state); with c3_only -> (c3_map, state); with with_c3 ->
         ((z, c3_map), new_state) — one conv-trunk pass feeding both the latent
         path and the backbone tap (used by the joint multi-task model).
 
-        fast=True routes the conv trunk through the blocked space-to-depth
-        equivalent (ops/fastconv.py) — exact same math with both channel dims
-        on full 128 MXU lanes; the inference paths enable it."""
-        if fast and x.shape[1] % 2 == 0 and x.shape[2] % 2 == 0:
+        fused routes the conv trunk through the fused Pallas TPU kernel
+        (pallas/trunk.py: blocked 128-lane convs, VMEM-resident
+        intermediates) — measured 10x SLOWER than the XLA convs on v5e (see
+        that module's header for the bisection), so the default is OFF; it is
+        kept as a parity-tested experiment. fast=True is the older XLA-level
+        blocked space-to-depth rewrite (ops/fastconv.py; also measured
+        slower)."""
+        even = x.shape[1] % 2 == 0 and x.shape[2] % 2 == 0
+        if fused is None:
+            fused = False
+        if fused and even:
+            from driving_dirty_tpu.pallas.trunk import encoder_convs_fused
+
+            x = encoder_convs_fused(params, x)
+        elif fast and even:
             from driving_dirty_tpu.ops import fastconv
 
             x = fastconv.encoder_convs_blocked(params, x)
