@@ -48,6 +48,11 @@ def measure_tpu(batch=BATCH, iters=20, warmup=3, precision=16, fast_conv=False, 
              fused_trunk=fused_trunk)
     )
     params, state = task.init(jax.random.PRNGKey(0))
+    if precision == 8:
+        # static activation-scale calibration must precede tracing
+        task.calibrate_int8(
+            params, state,
+            np.random.RandomState(0).rand(8, 6, H, W, 3).astype(np.float32))
 
     @jax.jit
     def predict(params, state, images):
@@ -148,13 +153,14 @@ def main(argv=None):
     ap.add_argument("--rebaseline", action="store_true")
     ap.add_argument("--batch", type=int, default=BATCH)
     ap.add_argument("--iters", type=int, default=20)
-    ap.add_argument("--precision", type=int, default=16, choices=[16, 32])
+    ap.add_argument("--precision", type=int, default=16, choices=[8, 16, 32],
+                    help="8 = int8-quantized conv trunk (inference-only, ops/quant.py)")
     ap.add_argument("--fast_conv", type=int, default=0, choices=[0, 1],
                     help="blocked space-to-depth encoder convs (ops/fastconv.py)")
     ap.add_argument("--fast_head", type=int, default=0, choices=[0, 1],
                     help="transpose-free latent head (NHWC pool + folded dot_general)")
     ap.add_argument("--fused_trunk", type=int, default=None, choices=[0, 1],
-                    help="fused Pallas conv-trunk kernel (pallas/trunk.py); default auto (on for TPU)")
+                    help="fused Pallas conv-trunk kernel (pallas/trunk.py); measured slower, default off")
     args = ap.parse_args(argv)
 
     baseline = get_baseline(args.rebaseline)

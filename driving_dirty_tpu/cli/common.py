@@ -58,7 +58,7 @@ def add_trainer_args(parser: argparse.ArgumentParser) -> argparse.ArgumentParser
     g.add_argument("--num_nodes", type=int, default=1)
     g.add_argument("--model_parallel", type=int, default=1,
                    help="size of the 'model' mesh axis (shards the big heads)")
-    g.add_argument("--precision", type=int, default=32, choices=[16, 32],
+    g.add_argument("--precision", type=int, default=32, choices=[8, 16, 32],
                    help="16 -> bfloat16 compute where supported")
     g.add_argument("--resume_from_checkpoint", type=str, default=None)
     g.add_argument("--default_root_dir", type=str, default="logs")

@@ -40,6 +40,8 @@ def load_pretrained_ae(hparams, *, need_decoder: bool = False):
         dict(
             hidden_dim=hp(hparams, "ae_hidden_dim", 128),
             latent_dim=hp(hparams, "ae_latent_dim", 64),
+            input_height=hp(hparams, "ae_input_height", 256),
+            input_width=hp(hparams, "ae_input_width", 306 * 6),
             batch_size=hp(hparams, "batch_size", 16),
         )
     )

@@ -152,7 +152,8 @@ class Encoder:
 
     def apply(self, params, state, x, *, train: bool, rng, c3_only: bool = False,
               with_c3: bool = False, fast: bool = False, fast_head: bool = False,
-              fused: bool | None = None):
+              fused: bool | None = None, int8: bool = False,
+              int8_scales=None):
         """-> (z, new_state); with c3_only -> (c3_map, state); with with_c3 ->
         ((z, c3_map), new_state) — one conv-trunk pass feeding both the latent
         path and the backbone tap (used by the joint multi-task model).
@@ -163,11 +164,19 @@ class Encoder:
         that module's header for the bisection), so the default is OFF; it is
         kept as a parity-tested experiment. fast=True is the older XLA-level
         blocked space-to-depth rewrite (ops/fastconv.py; also measured
-        slower)."""
+        slower).
+
+        int8 quantizes the trunk convs (ops/quant.py): int8 MXU MACs run at
+        2x the bf16 rate on v5e — measured +35% trunk-only; inference paths
+        enable it via --precision 8."""
         even = x.shape[1] % 2 == 0 and x.shape[2] % 2 == 0
         if fused is None:
             fused = False
-        if fused and even:
+        if int8:
+            from driving_dirty_tpu.ops.quant import encoder_convs_int8
+
+            x = encoder_convs_int8(params, x, scales=int8_scales)
+        elif fused and even:
             from driving_dirty_tpu.pallas.trunk import encoder_convs_fused
 
             x = encoder_convs_fused(params, x)
