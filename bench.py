@@ -26,7 +26,7 @@ import numpy as np
 
 BASELINE_CACHE = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BASELINE_SELF.json")
 HID, LAT = 128, 64
-BATCH = 128
+BATCH = 256  # measured: 3145 scenes/s vs 2859 at 128 (bf16); 192 regresses (2408)
 H, W = 256, 306
 
 
