@@ -69,6 +69,10 @@ def add_trainer_args(parser: argparse.ArgumentParser) -> argparse.ArgumentParser
     g.add_argument("--profile_dir", type=str, default=None)
     g.add_argument("--checkpoint_every_n_steps", type=int, default=None)
     g.add_argument("--debug", action="store_true", help="enable jax debug_nans")
+    g.add_argument("--remat", type=int, default=1, choices=[0, 1],
+                   help="rematerialize the encoder in training (default on; "
+                        "needed at large batch — remat=0 OOMs HBM at batch 128 "
+                        "— but worth ~10-27%% at batch<=32)")
     return parser
 
 

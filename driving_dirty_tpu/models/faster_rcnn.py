@@ -26,7 +26,7 @@ import jax
 import jax.numpy as jnp
 
 from driving_dirty_tpu.models.labeled_data import LabeledDataMixin, add_labeled_data_args
-from driving_dirty_tpu.models.pretrained import init_backbone, load_pretrained_ae
+from driving_dirty_tpu.models.pretrained import Int8TrunkMixin, init_backbone, load_pretrained_ae
 from driving_dirty_tpu.nn.detection import DetectionConfig, FasterRCNNHead
 from driving_dirty_tpu.core import layers as L
 from driving_dirty_tpu.ops.coords import corners_to_aabb
@@ -34,7 +34,7 @@ from driving_dirty_tpu.ops.maps import layout_images_as_map
 from driving_dirty_tpu.train.task import Task, hp
 
 
-class BBFasterRCNN(LabeledDataMixin, Task):
+class BBFasterRCNN(Int8TrunkMixin, LabeledDataMixin, Task):
     name = "faster_rcnn"
     uses_roadmap = False
 
@@ -74,6 +74,7 @@ class BBFasterRCNN(LabeledDataMixin, Task):
         feats, se = self.ae.encoder.apply(
             params["encoder"], state["encoder"], x, train=train, rng=rng, c3_only=True,
             fast=(not train) and hp(self.hparams, "fast_conv", False),
+            **self.enc_int8_kwargs(train),
         )
         return feats, {"encoder": se}
 

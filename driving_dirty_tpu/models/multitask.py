@@ -24,7 +24,7 @@ from jax.sharding import PartitionSpec as P
 from driving_dirty_tpu.core import layers as L
 from driving_dirty_tpu.metrics.threat import ts_road_map
 from driving_dirty_tpu.models.labeled_data import LabeledDataMixin, add_labeled_data_args
-from driving_dirty_tpu.models.pretrained import init_backbone, load_pretrained_ae
+from driving_dirty_tpu.models.pretrained import Int8TrunkMixin, init_backbone, load_pretrained_ae
 from driving_dirty_tpu.models.spatial_bb import _bce_probs
 from driving_dirty_tpu.nn.spatial import BoxesMergingCNN, SpatialMappingCNN
 from driving_dirty_tpu.ops.maps import boxes_to_binary_map
@@ -32,7 +32,7 @@ from driving_dirty_tpu.ops.stitch import wide_stitch
 from driving_dirty_tpu.train.task import Task, hp
 
 
-class MultiTask(LabeledDataMixin, Task):
+class MultiTask(Int8TrunkMixin, LabeledDataMixin, Task):
     name = "multitask"
 
     def __init__(self, hparams=None):
@@ -74,7 +74,8 @@ class MultiTask(LabeledDataMixin, Task):
         pano = wide_stitch(images)
         fast = (not train) and hp(self.hparams, "fast_conv", False)
         enc_apply = lambda p, s, v: self.ae.encoder.apply(
-            p, s, v, train=train, rng=rng, with_c3=True, fast=fast
+            p, s, v, train=train, rng=rng, with_c3=True, fast=fast,
+            **self.enc_int8_kwargs(train),
         )
         if train and hp(self.hparams, "remat", True):
             enc_apply = jax.checkpoint(enc_apply)

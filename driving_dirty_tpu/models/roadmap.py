@@ -25,7 +25,7 @@ from jax.sharding import PartitionSpec as P
 
 from driving_dirty_tpu.metrics.threat import ts_road_map
 from driving_dirty_tpu.models.labeled_data import LabeledDataMixin, add_labeled_data_args
-from driving_dirty_tpu.models.pretrained import init_backbone, load_pretrained_ae
+from driving_dirty_tpu.models.pretrained import Int8TrunkMixin, init_backbone, load_pretrained_ae
 from driving_dirty_tpu.core import layers as L
 from driving_dirty_tpu.ops.stitch import wide_stitch
 from driving_dirty_tpu.train.task import Task, hp
@@ -33,7 +33,7 @@ from driving_dirty_tpu.train.task import Task, hp
 MAP_PIXELS = 800 * 800
 
 
-class RoadMapBase(LabeledDataMixin, Task):
+class RoadMapBase(Int8TrunkMixin, LabeledDataMixin, Task):
     name = "roadmap_base"
     unfreeze_default = 30  # hard-coded in mse/bce-v1 (roadmap_pretrain_ae.py:131)
 
@@ -48,12 +48,11 @@ class RoadMapBase(LabeledDataMixin, Task):
         precision = hp(h, "precision", 32)
         # precision 8 = TPU-native extension of the reference's {16,32}
         # surface: bf16 compute with the conv trunk quantized to int8 at
-        # inference (ops/quant.py; 2x MXU MAC rate on v5e).
+        # inference (ops/quant.py; 2x MXU MAC rate on v5e; int8_trunk and
+        # the scale plumbing come from Int8TrunkMixin).
         self.compute_dtype = jnp.bfloat16 if precision in (16, 8) else jnp.float32
-        self.int8_trunk = precision == 8
         ue = hp(h, "unfreeze_epoch_no", None)
         self.unfreeze_epoch_no = self.unfreeze_default if ue is None else ue
-        self._int8_scales = None  # set by calibrate_int8 (static quant scales)
 
     # --- model -----------------------------------------------------------
     def init(self, rng):
@@ -75,8 +74,7 @@ class RoadMapBase(LabeledDataMixin, Task):
             p, s, v, train=train, rng=rng, fast=fast,
             fast_head=hp(self.hparams, "fast_head", False),
             fused=None if fused is None else bool(fused),
-            int8=self.int8_trunk and not train,
-            int8_scales=self._int8_scales,
+            **self.enc_int8_kwargs(train),
         )
         if train and hp(self.hparams, "remat", True):
             enc_apply = jax.checkpoint(enc_apply)
@@ -93,12 +91,8 @@ class RoadMapBase(LabeledDataMixin, Task):
         every conv behind a full scalar reduction (measured 1590 vs 2859
         scenes/s). predict() calls this automatically; callers jitting
         forward() themselves (bench.py) call it explicitly first."""
-        if not self.int8_trunk or self._int8_scales is not None:
-            return
-        from driving_dirty_tpu.ops import quant
-
         x = wide_stitch(jnp.asarray(images).astype(self.compute_dtype))
-        self._int8_scales = quant.calibrate_trunk(params["encoder"], x)
+        self.calibrate_int8_on(params["encoder"], x)
 
     def predict(self, params, state, images, rng=None):
         """Inference entry: -> binary [b, 800, 800] mask (threshold 0.5).

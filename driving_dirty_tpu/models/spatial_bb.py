@@ -25,7 +25,7 @@ import jax
 import jax.numpy as jnp
 
 from driving_dirty_tpu.models.labeled_data import LabeledDataMixin, add_labeled_data_args
-from driving_dirty_tpu.models.pretrained import init_backbone, load_pretrained_ae
+from driving_dirty_tpu.models.pretrained import Int8TrunkMixin, init_backbone, load_pretrained_ae
 from driving_dirty_tpu.nn.spatial import (
     BoxesMergingCNN,
     RoadMapBoxesMergingCNN,
@@ -43,7 +43,7 @@ def _bce_probs(probs, target, eps=1e-7):
     return -jnp.mean(target * jnp.log(p) + (1 - target) * jnp.log1p(-p))
 
 
-class BBSpatialModel(LabeledDataMixin, Task):
+class BBSpatialModel(Int8TrunkMixin, LabeledDataMixin, Task):
     name = "spatial_bb"
     merge_cls = BoxesMergingCNN
     uses_roadmap = False
@@ -76,6 +76,7 @@ class BBSpatialModel(LabeledDataMixin, Task):
         ssr, se = self.ae.encoder.apply(
             params["encoder"], state["encoder"], pano, train=train, rng=rng, c3_only=True,
             fast=(not train) and hp(self.hparams, "fast_conv", False),
+            **self.enc_int8_kwargs(train),
         )
         if self.uses_roadmap:
             probs, _ = self.box_merge.apply(
