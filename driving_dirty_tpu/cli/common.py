@@ -69,6 +69,13 @@ def add_trainer_args(parser: argparse.ArgumentParser) -> argparse.ArgumentParser
     g.add_argument("--profile_dir", type=str, default=None)
     g.add_argument("--checkpoint_every_n_steps", type=int, default=None)
     g.add_argument("--debug", action="store_true", help="enable jax debug_nans")
+    g.add_argument("--num_workers", type=int, default=None,
+                   help="decode pool threads (default: min(48, 4*cpus); the "
+                        "reference hardcoded 4)")
+    g.add_argument("--uint8_pipeline", type=int, default=1, choices=[0, 1],
+                   help="ship camera images to the device as raw uint8 and "
+                        "normalize on-TPU (4x less host CPU + host->HBM "
+                        "traffic); 0 = legacy host-side float32 /255")
     g.add_argument("--remat", type=int, default=1, choices=[0, 1],
                    help="rematerialize the encoder in training (default on; "
                         "needed at large batch — remat=0 OOMs HBM at batch 128 "

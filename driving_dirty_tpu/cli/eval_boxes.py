@@ -57,6 +57,7 @@ def main(argv=None):
         args.link, f"{args.link}/annotation.csv",
         LABELED_SCENES[: args.num_labeled_scenes],
         samples_per_scene=args.samples_per_scene,
+        raw_uint8=True,
     )
     loader = Loader(ds, args.batch_size, shuffle=False, num_workers=4)
 

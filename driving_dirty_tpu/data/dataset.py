@@ -45,10 +45,16 @@ UNLABELED_SCENES = np.arange(106)
 LABELED_SCENES = np.arange(106, 134)
 
 
-def _load_image(path):
+def _load_image(path, raw_uint8: bool = False):
     from PIL import Image
 
     with Image.open(path) as im:
+        if raw_uint8:
+            # uint8 pipeline: keep raw bytes; /255 runs on device
+            # (ops.stitch.normalize_images). 4x fewer bytes to stack, copy
+            # and DMA than the reference's host-side to_tensor float path
+            # (data_helper.py:66).
+            return np.asarray(im.convert("RGB"), dtype=np.uint8)
         arr = np.asarray(im.convert("RGB"), dtype=np.float32) / 255.0
     return arr  # HWC
 
@@ -76,6 +82,7 @@ class UnlabeledDataset:
     scene_index: np.ndarray
     first_dim: str = "sample"
     samples_per_scene: int = NUM_SAMPLE_PER_SCENE  # 126 in the real dataset
+    raw_uint8: bool = False  # camera images as uint8 (normalize on device)
 
     def __post_init__(self):
         assert self.first_dim in ("sample", "image")
@@ -94,12 +101,14 @@ class UnlabeledDataset:
             scene_id = self.scene_index[index // sps]
             sample_id = index % sps
             path = self._sample_path(scene_id, sample_id)
-            return np.stack([_load_image(os.path.join(path, n)) for n in IMAGE_NAMES])
+            return np.stack(
+                [_load_image(os.path.join(path, n), self.raw_uint8) for n in IMAGE_NAMES]
+            )
         scene_id = self.scene_index[index // (sps * NUM_IMAGE_PER_SAMPLE)]
         sample_id = (index % (sps * NUM_IMAGE_PER_SAMPLE)) // NUM_IMAGE_PER_SAMPLE
         cam = index % NUM_IMAGE_PER_SAMPLE
         path = self._sample_path(scene_id, sample_id)
-        return _load_image(os.path.join(path, IMAGE_NAMES[cam])), cam
+        return _load_image(os.path.join(path, IMAGE_NAMES[cam]), self.raw_uint8), cam
 
 
 @dataclass
@@ -123,6 +132,7 @@ class LabeledDataset:
     max_boxes: int = MAX_BOXES_DEFAULT
     extra_info: bool = False
     samples_per_scene: int = NUM_SAMPLE_PER_SCENE
+    raw_uint8: bool = False  # camera images as uint8 (normalize on device)
 
     def __post_init__(self):
         import pandas as pd
@@ -143,7 +153,9 @@ class LabeledDataset:
         scene_id = int(self.scene_index[index // self.samples_per_scene])
         sample_id = index % self.samples_per_scene
         path = os.path.join(self.image_folder, f"scene_{scene_id}", f"sample_{sample_id}")
-        images = np.stack([_load_image(os.path.join(path, n)) for n in IMAGE_NAMES])
+        images = np.stack(
+            [_load_image(os.path.join(path, n), self.raw_uint8) for n in IMAGE_NAMES]
+        )
 
         entries = self._groups.get((scene_id, sample_id))
         boxes = np.zeros((self.max_boxes, 2, 4), np.float32)

@@ -28,7 +28,7 @@ from driving_dirty_tpu.data.dataset import (
 )
 from driving_dirty_tpu.data.pipeline import Loader
 from driving_dirty_tpu.nn.autoencoder import Decoder, Encoder
-from driving_dirty_tpu.ops.stitch import six_to_one_task
+from driving_dirty_tpu.ops.stitch import normalize_images, six_to_one_task
 from driving_dirty_tpu.train.task import Task, hp
 
 
@@ -72,7 +72,7 @@ class BasicAE(Task):
         7GB at batch 32 — recomputing them is far cheaper than the HBM.
         """
         k_mask, k_enc, k_dec = jax.random.split(rng, 3)
-        x = x.astype(self.compute_dtype)
+        x = normalize_images(x, self.compute_dtype)
         x_masked, y = six_to_one_task(
             x, k_mask, num_maskable=6 if self.mask_all_six else 5
         )
@@ -102,16 +102,28 @@ class BasicAE(Task):
         train_idx, val_idx = scene_split(
             UNLABELED_SCENES[:n_scenes], seed=hp(self.hparams, "seed", 20200505)
         )
-        mk = lambda idx: UnlabeledDataset(link, idx, "sample", samples_per_scene=sps)
+        mk = lambda idx: UnlabeledDataset(
+            link, idx, "sample", samples_per_scene=sps,
+            raw_uint8=bool(hp(self.hparams, "uint8_pipeline", True)),
+        )
         return mk(train_idx), mk(val_idx)
+
+    def _num_workers(self):
+        import os
+
+        # adaptive decode pool (see LabeledDataMixin._num_workers)
+        return (hp(self.hparams, "num_workers", None)
+                or min(48, 4 * (os.cpu_count() or 4)))
 
     def train_loader(self):
         tr, _ = self._datasets()
-        return Loader(tr, self.batch_size, shuffle=True, num_workers=4, drop_last=True)
+        return Loader(tr, self.batch_size, shuffle=True,
+                      num_workers=self._num_workers(), drop_last=True)
 
     def val_loader(self):
         _, va = self._datasets()
-        return Loader(va, self.batch_size, shuffle=False, num_workers=4)
+        return Loader(va, self.batch_size, shuffle=False,
+                      num_workers=self._num_workers())
 
     # --- logging ---------------------------------------------------------
     def log_images(self, params, state, batch, rng, step_name):

@@ -19,7 +19,7 @@ import jax.numpy as jnp
 from driving_dirty_tpu.core import layers as L
 from driving_dirty_tpu.models.labeled_data import LabeledDataMixin, add_labeled_data_args
 from driving_dirty_tpu.models.pretrained import init_backbone, load_pretrained_ae
-from driving_dirty_tpu.ops.stitch import wide_stitch
+from driving_dirty_tpu.ops.stitch import normalize_images, wide_stitch
 from driving_dirty_tpu.train.task import Task, hp
 
 
@@ -46,7 +46,7 @@ class Boxes(LabeledDataMixin, Task):
         )
 
     def forward(self, params, state, images, *, train: bool, rng):
-        pano = wide_stitch(images)
+        pano = wide_stitch(normalize_images(images))
         z, se = self.ae.encoder.apply(
             params["encoder"], state["encoder"], pano, train=train, rng=rng,
             fast=(not train) and hp(self.hparams, "fast_conv", False),

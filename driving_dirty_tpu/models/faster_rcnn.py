@@ -65,7 +65,9 @@ class BBFasterRCNN(Int8TrunkMixin, LabeledDataMixin, Task):
 
     def backbone_features(self, params, state, images, road, *, train: bool, rng):
         """Six views -> square layout -> (fused) -> frozen encoder c3 features."""
-        square = layout_images_as_map(images, size=self.cfg.image_size)  # [b, S, S, 3]
+        from driving_dirty_tpu.ops.stitch import normalize_images
+
+        square = layout_images_as_map(normalize_images(images), size=self.cfg.image_size)  # [b, S, S, 3]
         if self.uses_roadmap:
             x = jnp.concatenate([square, road[..., None]], axis=-1)
             x = jax.nn.sigmoid(self.mapper_cnn.apply(params["mapper_cnn"], x))

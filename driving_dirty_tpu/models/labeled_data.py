@@ -31,16 +31,29 @@ class LabeledDataMixin:
         mk = lambda idx: LabeledDataset(
             link, annotation, idx, max_boxes=max_boxes, extra_info=extra_info,
             samples_per_scene=sps,
+            raw_uint8=bool(hp(h, "uint8_pipeline", True)),
         )
         return mk(train_idx), mk(val_idx)
 
+    def _num_workers(self):
+        # The reference hardcodes 4 (autoencoder.py:147-159, sized for its
+        # 10-CPU Slurm nodes); default scales with the host so a ~100-core
+        # TPU VM's decode pool can feed the compiled step (probe_train.py:
+        # 681 scenes/s roadmap at batch 128), capped to avoid thrash.
+        import os
+
+        return (hp(self.hparams, "num_workers", None)
+                or min(48, 4 * (os.cpu_count() or 4)))
+
     def train_loader(self):
         tr, _ = self._labeled_datasets()
-        return Loader(tr, self.batch_size, shuffle=True, num_workers=4, drop_last=True)
+        return Loader(tr, self.batch_size, shuffle=True,
+                      num_workers=self._num_workers(), drop_last=True)
 
     def val_loader(self):
         _, va = self._labeled_datasets()
-        return Loader(va, self.batch_size, shuffle=False, num_workers=4)
+        return Loader(va, self.batch_size, shuffle=False,
+                      num_workers=self._num_workers())
 
 
 def add_labeled_data_args(parser):

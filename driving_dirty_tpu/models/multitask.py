@@ -28,7 +28,7 @@ from driving_dirty_tpu.models.pretrained import Int8TrunkMixin, init_backbone, l
 from driving_dirty_tpu.models.spatial_bb import _bce_probs
 from driving_dirty_tpu.nn.spatial import BoxesMergingCNN, SpatialMappingCNN
 from driving_dirty_tpu.ops.maps import boxes_to_binary_map
-from driving_dirty_tpu.ops.stitch import wide_stitch
+from driving_dirty_tpu.ops.stitch import normalize_images, wide_stitch
 from driving_dirty_tpu.train.task import Task, hp
 
 
@@ -70,7 +70,7 @@ class MultiTask(Int8TrunkMixin, LabeledDataMixin, Task):
         One encoder pass: conv trunk once, then both the c3 tap (boxes) and
         the latent path (roadmap) reuse it.
         """
-        images = images.astype(self.compute_dtype)
+        images = normalize_images(images, self.compute_dtype)
         pano = wide_stitch(images)
         fast = (not train) and hp(self.hparams, "fast_conv", False)
         enc_apply = lambda p, s, v: self.ae.encoder.apply(

@@ -80,6 +80,14 @@ class Int8TrunkMixin:
     def calibrate_int8_on(self, encoder_params, x) -> None:
         if not self.int8_trunk or self._int8_scales is not None:
             return
+        if isinstance(x, jax.core.Tracer) or any(
+            isinstance(l, jax.core.Tracer) for l in jax.tree.leaves(encoder_params)[:1]
+        ):
+            # Called under a jit trace (e.g. a jitted predict): calibration
+            # needs concrete values, so leave scales unset — the quant path
+            # falls back to dynamic absmax (correct, slower). Call
+            # calibrate_int8 eagerly before tracing to get static scales.
+            return
         from driving_dirty_tpu.ops import quant
 
         self._int8_scales = quant.calibrate_trunk(encoder_params, x)

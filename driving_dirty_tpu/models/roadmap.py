@@ -27,7 +27,7 @@ from driving_dirty_tpu.metrics.threat import ts_road_map
 from driving_dirty_tpu.models.labeled_data import LabeledDataMixin, add_labeled_data_args
 from driving_dirty_tpu.models.pretrained import Int8TrunkMixin, init_backbone, load_pretrained_ae
 from driving_dirty_tpu.core import layers as L
-from driving_dirty_tpu.ops.stitch import wide_stitch
+from driving_dirty_tpu.ops.stitch import normalize_images, wide_stitch
 from driving_dirty_tpu.train.task import Task, hp
 
 MAP_PIXELS = 800 * 800
@@ -67,7 +67,7 @@ class RoadMapBase(Int8TrunkMixin, LabeledDataMixin, Task):
 
         Training remats the encoder (see BasicAE.forward: the padded wide-conv
         activations dominate HBM otherwise)."""
-        x = wide_stitch(images.astype(self.compute_dtype))
+        x = wide_stitch(normalize_images(images, self.compute_dtype))
         fast = (not train) and hp(self.hparams, "fast_conv", False)
         fused = hp(self.hparams, "fused_trunk", None)  # None = auto (TPU inference)
         enc_apply = lambda p, s, v: self.ae.encoder.apply(
@@ -91,7 +91,9 @@ class RoadMapBase(Int8TrunkMixin, LabeledDataMixin, Task):
         every conv behind a full scalar reduction (measured 1590 vs 2859
         scenes/s). predict() calls this automatically; callers jitting
         forward() themselves (bench.py) call it explicitly first."""
-        x = wide_stitch(jnp.asarray(images).astype(self.compute_dtype))
+        if not self.int8_trunk or self._int8_scales is not None:
+            return
+        x = wide_stitch(normalize_images(jnp.asarray(images), self.compute_dtype))
         self.calibrate_int8_on(params["encoder"], x)
 
     def predict(self, params, state, images, rng=None):
@@ -128,12 +130,12 @@ class RoadMapBase(Int8TrunkMixin, LabeledDataMixin, Task):
         """Input pano + target/pred roadmaps (the reference's _log_rm_images
         triptych, roadmap_bce_v2.py:110-123)."""
         import jax.numpy as jnp
-        from driving_dirty_tpu.ops.stitch import wide_stitch
+        from driving_dirty_tpu.ops.stitch import normalize_images, wide_stitch
 
         x = batch["images"][:1]
         _, probs, _ = self.forward(params, state, x, train=False, rng=rng)
         return {
-            f"{step_name}_input_images": jnp.clip(wide_stitch(x)[0], 0, 1),
+            f"{step_name}_input_images": jnp.clip(wide_stitch(normalize_images(x))[0], 0, 1),
             f"{step_name}_target_roadmaps": batch["road"][0][..., None],
             f"{step_name}_pred_roadmaps": jnp.round(probs[0])[..., None],
         }

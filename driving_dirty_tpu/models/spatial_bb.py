@@ -32,7 +32,7 @@ from driving_dirty_tpu.nn.spatial import (
     SpatialMappingCNN,
 )
 from driving_dirty_tpu.ops.maps import boxes_to_binary_map
-from driving_dirty_tpu.ops.stitch import wide_stitch
+from driving_dirty_tpu.ops.stitch import normalize_images, wide_stitch
 from driving_dirty_tpu.train.task import Task, hp
 
 
@@ -71,6 +71,7 @@ class BBSpatialModel(Int8TrunkMixin, LabeledDataMixin, Task):
 
     def forward(self, params, state, images, road=None, *, train: bool, rng):
         """[b, 6, H, W, C] (+road [b,800,800]) -> occupancy probs [b,800,800]."""
+        images = normalize_images(images)
         spatial, _ = self.space_map_cnn.apply(params["space_map_cnn"], {}, images)
         pano = wide_stitch(images)
         ssr, se = self.ae.encoder.apply(
@@ -119,14 +120,14 @@ class BBSpatialModel(Int8TrunkMixin, LabeledDataMixin, Task):
     def log_images(self, params, state, batch, rng, step_name):
         """Input + target/pred occupancy maps (spatial_model.py:126-134)."""
         import jax.numpy as jnp
-        from driving_dirty_tpu.ops.stitch import wide_stitch
+        from driving_dirty_tpu.ops.stitch import normalize_images, wide_stitch
 
         x = batch["images"][:1]
         road = batch["road"][:1] if self.uses_roadmap else None
         probs, _ = self.forward(params, state, x, road, train=False, rng=rng)
         target = self._targets({k: v[:1] for k, v in batch.items()})
         return {
-            f"{step_name}_input_images": jnp.clip(wide_stitch(x)[0], 0, 1),
+            f"{step_name}_input_images": jnp.clip(wide_stitch(normalize_images(x))[0], 0, 1),
             f"{step_name}_target_bbs": target[0][..., None],
             f"{step_name}_pred_bbs": probs[0][..., None],
         }

@@ -22,6 +22,23 @@ VIEW_W = 306
 NUM_VIEWS = 6
 
 
+def normalize_images(x, dtype=None):
+    """Device-side image normalization for the uint8 input pipeline.
+
+    The loaders ship camera images as raw uint8 (4x fewer host->HBM bytes
+    and no host-side float conversion than the torchvision `to_tensor`
+    float path, data_helper.py:66); the /255 happens here, on device, fused
+    into the first conv's input. Float inputs pass through (legacy float
+    pipeline / tests)."""
+    import jax.numpy as jnp
+
+    if jnp.issubdtype(x.dtype, jnp.integer):
+        x = x.astype(dtype or jnp.float32) * (1.0 / 255.0)
+    elif dtype is not None:
+        x = x.astype(dtype)
+    return x
+
+
 def wide_stitch(x):
     """[b, 6, H, W, C] -> [b, H, 6*W, C] panorama in FL,F,FR,BR,B,BL order.
 

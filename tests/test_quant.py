@@ -96,3 +96,35 @@ def test_precision8_training_stays_float():
     g = jax.grad(loss_fn)(params)
     gnorm = sum(float(jnp.sum(jnp.abs(v))) for v in jax.tree.leaves(g))
     assert np.isfinite(gnorm) and gnorm > 0
+
+
+def test_uint8_pipeline_matches_float():
+    """uint8 loader items + on-device /255 == host-side float32 /255."""
+    from driving_dirty_tpu.ops.stitch import normalize_images
+
+    raw = np.random.RandomState(5).randint(0, 256, (2, 6, 8, 12, 3), np.uint8)
+    f32 = raw.astype(np.float32) / 255.0
+    out = np.asarray(normalize_images(jnp.asarray(raw)))
+    np.testing.assert_allclose(out, f32, atol=1e-7)
+    # float inputs pass through unchanged
+    same = np.asarray(normalize_images(jnp.asarray(f32)))
+    np.testing.assert_allclose(same, f32)
+
+
+def test_dataset_raw_uint8(tmp_path):
+    from driving_dirty_tpu.data.synthetic import generate
+
+    generate(str(tmp_path), scenes=1, samples=2, labeled_scenes=1)
+    from driving_dirty_tpu.data.dataset import LabeledDataset, UnlabeledDataset
+
+    ds8 = UnlabeledDataset(str(tmp_path), [0], "sample", samples_per_scene=2,
+                           raw_uint8=True)
+    dsf = UnlabeledDataset(str(tmp_path), [0], "sample", samples_per_scene=2)
+    a, b = ds8[0], dsf[0]
+    assert a.dtype == np.uint8 and b.dtype == np.float32
+    np.testing.assert_allclose(a.astype(np.float32) / 255.0, b, atol=1e-6)
+
+    lab8 = LabeledDataset(str(tmp_path), f"{tmp_path}/annotation.csv", [106],
+                          samples_per_scene=2, raw_uint8=True)[0]
+    assert lab8["images"].dtype == np.uint8
+    assert lab8["road"].dtype == np.float32  # labels keep the float path
