@@ -96,11 +96,31 @@ class BBFasterRCNN(Int8TrunkMixin, LabeledDataMixin, Task):
         total = sum(losses.values())
         return total, (new_state, losses)
 
+    predict_chunk = 8  # bound NMS temps: the greedy NMS holds a [2000,2000]
+    # IoU matrix per image and the class-wise second stage multiplies that by
+    # 9 classes — an unchunked batch-32 eval program needs >20GB of HBM temps
+    # (measured compile OOM); lax.map over sub-batches caps residency.
+
     def predict(self, params, state, images, road=None, rng=None):
         """-> detections dict (pixel xyxy boxes, scores, labels, valid)."""
         rng = jax.random.PRNGKey(0) if rng is None else rng
-        feats, _ = self.backbone_features(params, state, images, road, train=False, rng=rng)
-        return self.head.forward_eval(params["head"], feats)
+
+        def run(im, rd):
+            feats, _ = self.backbone_features(params, state, im, rd, train=False, rng=rng)
+            return self.head.forward_eval(params["head"], feats)
+
+        b = images.shape[0]
+        ch = self.predict_chunk
+        if b <= ch or b % ch != 0:
+            return run(images, road)
+        ims = images.reshape(b // ch, ch, *images.shape[1:])
+        rds = (
+            road.reshape(b // ch, ch, *road.shape[1:])
+            if road is not None
+            else jnp.zeros((b // ch, ch, 0))
+        )
+        out = jax.lax.map(lambda xr: run(xr[0], xr[1] if road is not None else None), (ims, rds))
+        return jax.tree.map(lambda x: x.reshape(b, *x.shape[2:]), out)
 
     # --- optimization ----------------------------------------------------
     def learning_rate(self):

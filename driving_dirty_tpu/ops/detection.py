@@ -157,26 +157,44 @@ def nms_fixed(boxes, scores, iou_threshold: float, max_out: int):
     """Greedy NMS over a fixed-size candidate set.
 
     boxes [K, 4], scores [K] (invalid = -inf) -> (keep_idx [max_out],
-    keep_valid [max_out]). Sorts by score, computes the [K, K] IoU matrix
-    once, then a lax.scan over rows marks each box dead if any higher-scored
-    surviving box overlaps above threshold — identical output to torchvision's
-    sequential nms for distinct scores.
+    keep_valid [max_out]). Identical output to torchvision's sequential nms
+    for distinct scores.
+
+    TPU formulation: instead of a K-step sequential scan (measured ~40ms per
+    image at K=2000 — scan-step overhead, not compute), iterate the
+    suppression relation to its fixpoint with whole-matrix ops:
+
+        alive[i] <- no j < i with alive[j] and iou[j, i] > thr
+
+    Starting from all-alive, after t iterations every box whose
+    suppression-dependency chain is shorter than t has its final (greedy)
+    status, so the loop converges in (longest chain) iterations — a handful
+    in practice, K in the adversarial worst case — each a cheap [K, K]
+    masked any-reduce on the VPU.
     """
     k = boxes.shape[0]
     order = jnp.argsort(-scores)
     b = boxes[order]
     s = scores[order]
     iou = pairwise_iou(b, b)
-    suppress_mat = (iou > iou_threshold)
+    # j suppresses i if j < i (strictly higher score rank) and IoU > thr
+    tri = jnp.arange(k)[:, None] < jnp.arange(k)[None, :]
+    suppress = (iou > iou_threshold) & tri  # [K, K], row j -> col i
+    valid = s > NEG_INF / 2
 
-    def body(alive, i):
-        row = suppress_mat[i] & alive & (jnp.arange(k) < i)
-        keep_i = ~jnp.any(row) & (s[i] > NEG_INF / 2)
-        alive = alive.at[i].set(keep_i)
-        return alive, keep_i
+    def cond(carry):
+        alive, prev, it = carry
+        return (it < k) & jnp.any(alive != prev)
 
-    alive0 = jnp.zeros(k, bool)
-    alive, keep = lax.scan(body, alive0, jnp.arange(k))
+    def body(carry):
+        alive, _, it = carry
+        new = ~jnp.any(suppress & alive[:, None], axis=0) & valid
+        return new, alive, it + 1
+
+    alive0 = valid
+    keep, _, _ = lax.while_loop(
+        cond, body, (alive0, jnp.zeros(k, bool), jnp.asarray(0))
+    )
     # gather up to max_out survivors in score order
     keep_priority = jnp.where(keep, s, NEG_INF)
     vals, kept_sorted = lax.top_k(keep_priority, max_out)
