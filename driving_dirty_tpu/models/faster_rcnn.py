@@ -42,12 +42,16 @@ class BBFasterRCNN(Int8TrunkMixin, LabeledDataMixin, Task):
         super().__init__(hparams)
         h = self.hparams
         self.batch_size = hp(h, "batch_size", 6)
+        self.compute_dtype = (
+            jnp.bfloat16 if hp(h, "precision", 32) in (16, 8) else jnp.float32
+        )
         self.unfreeze_epoch_no = hp(h, "unfreeze_epoch_no", 10) or 10
         self.ae, self._ae_params, self._ae_state = load_pretrained_ae(h)
         self.cfg = DetectionConfig(
             image_size=hp(h, "image_size", 800),
             rpn_pre_nms_top_n=hp(h, "rpn_pre_nms_top_n", 2000),
             rpn_post_nms_top_n=hp(h, "rpn_post_nms_top_n", 1000),
+            exact_topk=bool(hp(h, "exact_topk", False)),
             box_batch_per_image=hp(h, "box_batch_per_image", 512),
         )
         self.head = FasterRCNNHead(self.cfg)
@@ -67,9 +71,13 @@ class BBFasterRCNN(Int8TrunkMixin, LabeledDataMixin, Task):
         """Six views -> square layout -> (fused) -> frozen encoder c3 features."""
         from driving_dirty_tpu.ops.stitch import normalize_images
 
-        square = layout_images_as_map(normalize_images(images), size=self.cfg.image_size)  # [b, S, S, 3]
+        square = layout_images_as_map(
+            normalize_images(images, self.compute_dtype), size=self.cfg.image_size
+        )  # [b, S, S, 3]
         if self.uses_roadmap:
-            x = jnp.concatenate([square, road[..., None]], axis=-1)
+            x = jnp.concatenate(
+                [square, road[..., None].astype(self.compute_dtype)], axis=-1
+            )
             x = jax.nn.sigmoid(self.mapper_cnn.apply(params["mapper_cnn"], x))
         else:
             x = square
@@ -141,6 +149,9 @@ class BBFasterRCNN(Int8TrunkMixin, LabeledDataMixin, Task):
         parser.add_argument("--unfreeze_epoch_no", type=int, default=10)
         parser.add_argument("--max_bb", type=int, default=100)
         parser.add_argument("--rpn_pre_nms_top_n", type=int, default=2000)
+        parser.add_argument("--exact_topk", type=int, default=0, choices=[0, 1],
+                            help="exact lax.top_k proposal selection instead of "
+                                 "TPU approx_max_k (slower; bitwise torchvision-style)")
         parser.add_argument("--rpn_post_nms_top_n", type=int, default=1000)
         parser.add_argument("--box_batch_per_image", type=int, default=512)
         parser.add_argument("--mse_loss", action="store_true", default=False)

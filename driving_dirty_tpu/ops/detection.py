@@ -280,23 +280,62 @@ def _roi_align_vjp(features, rois, output_size, spatial_scale, sampling_ratio, a
                                sampling_ratio, aligned)
 
 
+def _interp_matrix(coords, size: int, output_size: int, s: int):
+    """Clipped sample coordinates [R, out*s] -> bin interpolation matrix
+    [R, out, size]: row i holds the bilinear weights of every feature
+    row/col for output bin i, with the 1/s sample average folded in."""
+    c0 = jnp.floor(coords).astype(jnp.int32)
+    c1 = jnp.minimum(c0 + 1, size - 1)
+    frac = coords - c0
+    grid = jnp.arange(size)[None, None, :]
+    m = (grid == c0[..., None]) * (1.0 - frac[..., None]) + (
+        grid == c1[..., None]
+    ) * frac[..., None]  # [R, out*s, size]
+    r = coords.shape[0]
+    return m.reshape(r, output_size, s, size).mean(axis=2)
+
+
+_ROI_MATMUL_CHUNK = 256  # rois per chunk: bounds the [chunk, out, W, C] temp
+
+
 def _roi_align_fwd_impl(features, rois, output_size, spatial_scale,
                         sampling_ratio, aligned):
+    """Separable-matmul RoIAlign (same trick as the backward's segment-sum
+    VJP): bilinear sampling factorizes as out[r,i,j] = By[r,i,:] @ F @
+    Bx[r,j,:]^T, so the whole op is two MXU contractions per roi chunk
+    (~73 GFLOP/scene at reference dims) instead of R*out^2*s^2*4 scattered
+    gathers — measured 31 ms/scene gather-bound vs <2 ms as matmuls."""
     H, W, C = features.shape
     s = sampling_ratio
-    (i00, i01, i10, i11), (w00, w01, w10, w11) = _roi_sample_grid(
-        features.shape, rois, output_size, spatial_scale, s, aligned
-    )
-    flat = features.reshape(H * W, C)
-    samples = (
-        flat[i00] * w00[..., None]
-        + flat[i01] * w01[..., None]
-        + flat[i10] * w10[..., None]
-        + flat[i11] * w11[..., None]
-    )  # [R, P, Q, C]
-    R = rois.shape[0]
-    samples = samples.reshape(R, output_size, s, output_size, s, C)
-    return jnp.mean(samples, axis=(2, 4))
+    ys, xs = _roi_sample_coords(features.shape, rois, output_size,
+                                spatial_scale, s, aligned)
+    by = _interp_matrix(ys, H, output_size, s).astype(features.dtype)
+    bx = _interp_matrix(xs, W, output_size, s).astype(features.dtype)
+    flat = features.reshape(H, W * C)
+    r = rois.shape[0]
+    chunk = _ROI_MATMUL_CHUNK if r % _ROI_MATMUL_CHUNK == 0 else r
+
+    def run(args):
+        by_c, bx_c = args  # [chunk, out, H], [chunk, out, W]
+        t = lax.dot_general(
+            by_c, flat, (((2,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ).reshape(chunk, output_size, W, C)
+        # contract W with per-roi batch: [r, J, W] x [r, I, W, C] -> [r, J, I, C]
+        out = lax.dot_general(
+            bx_c, t.astype(features.dtype), (((2,), (2,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
+        )
+        return jnp.transpose(out, (0, 2, 1, 3))  # [r, I, J, C]
+
+    if chunk == r:
+        out = run((by, bx))
+    else:
+        nc = r // chunk
+        out = lax.map(run, (by.reshape(nc, chunk, output_size, H),
+                            bx.reshape(nc, chunk, output_size, W)))
+        out = out.reshape(r, output_size, output_size, C)
+    return out.astype(jnp.float32)
 
 
 def _roi_align_fwd(features, rois, output_size, spatial_scale, sampling_ratio, aligned):
