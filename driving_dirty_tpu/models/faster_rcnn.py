@@ -81,11 +81,17 @@ class BBFasterRCNN(Int8TrunkMixin, LabeledDataMixin, Task):
             x = jax.nn.sigmoid(self.mapper_cnn.apply(params["mapper_cnn"], x))
         else:
             x = square
-        feats, se = self.ae.encoder.apply(
-            params["encoder"], state["encoder"], x, train=train, rng=rng, c3_only=True,
+        enc_apply = lambda p, s, v: self.ae.encoder.apply(
+            p, s, v, train=train, rng=rng, c3_only=True,
             fast=(not train) and hp(self.hparams, "fast_conv", False),
             **self.enc_int8_kwargs(train),
         )
+        if train and hp(self.hparams, "remat", True):
+            # as in the roadmap/AE models: recomputing the 800x800 trunk's
+            # lane-padded c1/c2 activations beats storing them for backward
+            # (batch-16 training OOMs 16GB HBM by ~80MB without this)
+            enc_apply = jax.checkpoint(enc_apply)
+        feats, se = enc_apply(params["encoder"], state["encoder"], x)
         return feats, {"encoder": se}
 
     def _targets(self, batch):
