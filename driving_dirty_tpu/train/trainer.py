@@ -86,6 +86,13 @@ class Trainer:
         self.enable_checkpointing = enable_checkpointing
         self.enable_progress_bar = enable_progress_bar
         self.profile_dir = profile_dir
+        if profile_dir and os.environ.get("JAX_PLATFORMS", "") == "axon":
+            # jax.profiler.start_trace HANGS on the tunneled axon platform
+            # (verified: a minimal start/stop trace never returns); disable
+            # rather than freeze the fit loop. Real TPU VMs profile normally.
+            print("[trainer] --profile_dir disabled: profiler hangs on the "
+                  "tunneled 'axon' TPU platform")
+            self.profile_dir = None
         if debug_nans:
             jax.config.update("jax_debug_nans", True)
         if donate_buffers is None:
