@@ -67,14 +67,22 @@ def _listify(node):
     return node
 
 
-def save(path, *, params, state=None, opt_state=None, hparams=None, meta=None):
-    """Atomically write a checkpoint. hparams: JSON-serializable dict/Namespace."""
+def save(path, *, params, state=None, opt_state=None, hparams=None, meta=None, extra=None):
+    """Atomically write a checkpoint. hparams: JSON-serializable dict/Namespace.
+
+    `opt_state` is stored structure-free as its ordered leaf list (optax
+    states are namedtuple pytrees whose structure the restoring optimizer
+    already knows — see `restore_opt_state`). `extra` is a small dict pytree
+    of arrays for trainer-owned state (rng key, etc.).
+    """
     params = jax.device_get(params)
     payload = {"params": params}
     if state is not None:
         payload["state"] = jax.device_get(state)
     if opt_state is not None:
-        payload["opt_state"] = jax.device_get(opt_state)
+        payload["opt_state"] = [np.asarray(l) for l in jax.device_get(jax.tree.leaves(opt_state))]
+    if extra is not None:
+        payload["extra"] = jax.device_get(extra)
     flat = _flatten(payload)
     if hparams is not None and not isinstance(hparams, dict):
         hparams = dict(vars(hparams))
@@ -119,7 +127,34 @@ def load(path):
         "params": tree.get("params", {}),
         "state": tree.get("state"),
         "opt_state": tree.get("opt_state"),
+        "extra": tree.get("extra"),
         "hparams": meta.get("hparams"),
         "meta": meta.get("meta", {}),
     }
     return out
+
+
+def restore_opt_state(template_opt_state, leaves):
+    """Rebuild an optax state from its saved leaf list.
+
+    `template_opt_state` is a freshly `tx.init(params)`-ed state with the
+    right structure (and, under a mesh, the right shardings — mu/nu inherit
+    the param layout). Each saved leaf is cast to the template leaf's dtype
+    and placed on its sharding, so a resumed multi-chip run keeps the
+    Adam moments distributed exactly as a fresh one would.
+    """
+    import jax.numpy as jnp
+
+    flat, treedef = jax.tree.flatten(template_opt_state)
+    if len(flat) != len(leaves):
+        raise ValueError(
+            f"checkpointed opt_state has {len(leaves)} leaves; optimizer "
+            f"expects {len(flat)} — optimizer config changed since save"
+        )
+    out = []
+    for tgt, src in zip(flat, leaves):
+        arr = jnp.asarray(np.asarray(src), dtype=tgt.dtype)
+        if hasattr(tgt, "sharding"):
+            arr = jax.device_put(arr, tgt.sharding)
+        out.append(arr)
+    return jax.tree.unflatten(treedef, out)

@@ -53,6 +53,8 @@ REFERENCE_SEED = 20200505  # every reference entry point seeds with this
 def add_trainer_args(parser: argparse.ArgumentParser) -> argparse.ArgumentParser:
     g = parser.add_argument_group("trainer")
     g.add_argument("--max_epochs", type=int, default=1000)
+    g.add_argument("--max_steps", type=int, default=None,
+                   help="stop (with a resumable checkpoint) after N optimizer steps")
     g.add_argument("--gpus", type=int, default=None,
                    help="number of accelerator devices (TPU chips) to use")
     g.add_argument("--num_nodes", type=int, default=1)
@@ -102,6 +104,7 @@ def trainer_from_args(args) -> Trainer:
         profile_dir=args.profile_dir,
         debug_nans=getattr(args, "debug", False),
         checkpoint_every_n_steps=getattr(args, "checkpoint_every_n_steps", None),
+        max_steps=getattr(args, "max_steps", None),
     )
 
 

@@ -2,24 +2,37 @@
 
 Re-design of /root/reference/src/submit.py (SURVEY.md §2.8): the MODEL_NAMES
 registry, two-phase parsing keyed on --model, and test-tube's grid-search
-fan-out (`optimize_parallel_cluster_gpu`, nb_trials=12). On TPU the fan-out
-becomes N independent runs — one per trial — executed sequentially by default
-or emitted as shell commands (--emit_commands) for an external scheduler
-(each trial is single-slice; trials need no communication, SURVEY.md §2.9).
+fan-out (`optimize_parallel_cluster_gpu(nb_trials=12)`, submit.py:72-74). On
+TPU the fan-out becomes N independent runs — one per trial:
+
+  * default: sequential in-process;
+  * --on_cluster / --parallel_trials K: K CONCURRENT subprocesses on this
+    host, each pinned to a disjoint device subset (TPU_VISIBLE_DEVICES for
+    TPU VMs; per-process virtual device pools on CPU), with per-trial log
+    files and a summary table — the TPU-native equivalent of the reference's
+    12 Slurm jobs (trials are independent; no inter-trial comm, SURVEY.md
+    §2.9);
+  * --emit_commands: print one shell command per trial for an external
+    scheduler.
 
     python -m driving_dirty_tpu.cli.submit --model roadmap_bce --link <data> \
-        [--single_run] [--nb_hopt_trials 12] [--tt_name exp1]
+        [--single_run] [--nb_hopt_trials 12] [--tt_name exp1] \
+        [--on_cluster --parallel_trials 4]
 
 Reference flags preserved: --model, --tt_name, --tt_description,
---logs_save_path, --single_run, --nb_hopt_trials.
+--logs_save_path, --single_run, --nb_hopt_trials, --on_cluster, --nodes,
+--conda_env.
 """
 from __future__ import annotations
 
 import argparse
 import itertools
+import json
 import os
 import random
+import subprocess
 import sys
+import time
 
 import numpy as np
 
@@ -73,6 +86,127 @@ def grid_trials(model_name, limit):
     return [dict(zip(keys, c)) for c in combos][:limit]
 
 
+def _strip_flags(argv, value_flags, bare_flags):
+    """Remove orchestration flags from an argv list (keeping trial flags)."""
+    out, skip = [], False
+    for tok in argv:
+        if skip:
+            skip = False
+            continue
+        name = tok.split("=")[0]
+        if name in bare_flags:
+            continue
+        if name in value_flags:
+            skip = "=" not in tok
+            continue
+        out.append(tok)
+    return out
+
+
+def _trial_env(i, n_parallel, devices_per_trial):
+    """Per-trial subprocess environment: pin a disjoint device subset.
+
+    TPU VMs: TPU_VISIBLE_DEVICES (comma chip indices) — trial i owns chips
+    [i*k, (i+1)*k). CPU (tests / no accelerator): each subprocess gets its own
+    k-device virtual pool via xla_force_host_platform_device_count (process
+    isolation makes the subsets disjoint by construction)."""
+    env = os.environ.copy()
+    env["DD_TRIAL_INDEX"] = str(i)
+    if not devices_per_trial:
+        return env
+    k = devices_per_trial
+    if env.get("JAX_PLATFORMS", "") in ("cpu", "") and "TPU_NAME" not in env:
+        flags = env.get("XLA_FLAGS", "")
+        flags = " ".join(
+            t for t in flags.split() if "xla_force_host_platform_device_count" not in t
+        )
+        env["XLA_FLAGS"] = (flags + f" --xla_force_host_platform_device_count={k}").strip()
+        env.setdefault("JAX_PLATFORMS", "cpu")
+    else:
+        env["TPU_VISIBLE_DEVICES"] = ",".join(str(i * k + j) for j in range(k))
+    return env
+
+
+def _last_val_loss(trial_root):
+    """Best (min) val_loss across any task metrics.jsonl under trial_root."""
+    best = None
+    for dirpath, _, files in os.walk(trial_root):
+        if "metrics.jsonl" not in files:
+            continue
+        with open(os.path.join(dirpath, "metrics.jsonl")) as f:
+            for line in f:
+                try:
+                    rec = json.loads(line)
+                except json.JSONDecodeError:
+                    continue
+                v = rec.get("val_loss")
+                if v is not None and (best is None or v < best):
+                    best = v
+    return best
+
+
+def run_trials_concurrent(args, trials, base_argv):
+    """Run the grid as concurrent pinned subprocesses with per-trial logs.
+
+    The TPU-native `optimize_parallel_cluster_gpu(nb_trials=12)`
+    (/root/reference/src/submit.py:72-74): instead of 12 Slurm jobs, up to
+    --parallel_trials subprocesses run at once on this host, each on its own
+    device subset, logging to <root>/trial_i/trial.log. Returns a summary
+    list of dicts (also printed as a table).
+    """
+    from concurrent.futures import ThreadPoolExecutor
+
+    n_par = max(1, args.parallel_trials)
+    total_dev = args.gpus if args.gpus else None
+    dev_per_trial = (total_dev // n_par) if total_dev and total_dev >= n_par else total_dev
+    clean = _strip_flags(
+        list(base_argv),
+        value_flags={"--parallel_trials", "--nb_hopt_trials", "--tt_name",
+                     "--gpus", "--logs_save_path"},
+        bare_flags={"--on_cluster", "--single_run", "--emit_commands"},
+    )
+
+    def run_one(i_ov):
+        i, overrides = i_ov
+        # child recomputes its root as logs_save_path/tt_name, so point those
+        # at <exp_root>/trial_i
+        trial_root = os.path.join(args.default_root_dir, f"trial_{i}")
+        os.makedirs(trial_root, exist_ok=True)
+        cmd = [sys.executable, "-m", "driving_dirty_tpu.cli.submit", *clean,
+               "--single_run", "--logs_save_path", args.default_root_dir,
+               "--tt_name", f"trial_{i}"]
+        if dev_per_trial:
+            cmd += ["--gpus", str(dev_per_trial)]
+        for k, v in overrides.items():
+            cmd += [f"--{k}", str(v)]
+        log_path = os.path.join(trial_root, "trial.log")
+        t0 = time.perf_counter()
+        with open(log_path, "w") as log:
+            proc = subprocess.run(
+                cmd, stdout=log, stderr=subprocess.STDOUT,
+                env=_trial_env(i, n_par, dev_per_trial), cwd=os.getcwd(),
+            )
+        return {
+            "trial": i,
+            "overrides": overrides,
+            "rc": proc.returncode,
+            "seconds": round(time.perf_counter() - t0, 1),
+            "val_loss": _last_val_loss(trial_root),
+            "log": log_path,
+        }
+
+    with ThreadPoolExecutor(n_par) as pool:
+        results = list(pool.map(run_one, enumerate(trials)))
+
+    print(f"\n=== {args.tt_name}: {len(results)} trials, {n_par} concurrent"
+          + (f", {dev_per_trial} device(s)/trial" if dev_per_trial else "") + " ===")
+    print(f"{'trial':>5}  {'rc':>3}  {'sec':>7}  {'val_loss':>10}  overrides")
+    for r in sorted(results, key=lambda r: (r["val_loss"] is None, r["val_loss"])):
+        vl = f"{r['val_loss']:.5f}" if r["val_loss"] is not None else "-"
+        print(f"{r['trial']:>5}  {r['rc']:>3}  {r['seconds']:>7.1f}  {vl:>10}  {r['overrides']}")
+    return results
+
+
 def main(argv=None):
     from driving_dirty_tpu.cli.common import add_trainer_args, trainer_from_args
 
@@ -101,15 +235,24 @@ def main(argv=None):
     # commands only.
     parser.add_argument("--nodes", type=int, default=1)
     parser.add_argument("--conda_env", type=str, default=None)
-    parser.add_argument("--on_cluster", action="store_true")
+    parser.add_argument("--on_cluster", action="store_true",
+                        help="run the grid as concurrent pinned subprocesses "
+                             "on this host (see run_trials_concurrent)")
+    parser.add_argument("--parallel_trials", type=int, default=0,
+                        help="max concurrent trial subprocesses; implies the "
+                             "--on_cluster runner when > 0 (default with "
+                             "--on_cluster: 4)")
     args = parser.parse_args(argv)
-    if args.on_cluster:
-        args.emit_commands = True
+    if args.on_cluster and not args.parallel_trials:
+        args.parallel_trials = 4
     if getattr(args, "num_nodes", 1) == 1 and args.nodes > 1:
         args.num_nodes = args.nodes
     args.default_root_dir = os.path.join(args.logs_save_path, args.tt_name)
 
     trials = [{}] if args.single_run else grid_trials(args.model, args.nb_hopt_trials)
+    if args.parallel_trials and not args.single_run and not args.emit_commands:
+        base_argv = list(argv) if argv is not None else sys.argv[1:]
+        return run_trials_concurrent(args, trials, base_argv)
     results = []
     for i, overrides in enumerate(trials):
         if args.emit_commands:

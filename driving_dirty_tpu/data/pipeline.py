@@ -66,6 +66,24 @@ class Loader:
         self.seed = seed
         self.prefetch_batches = prefetch_batches
         self._epoch = 0
+        self._external_epoch = None
+        self._skip_batches = 0
+
+    def set_epoch(self, epoch: int, base_seed: int | None = None, skip_batches: int = 0):
+        """Pin the shuffle order for exact-resume training.
+
+        The Trainer calls this every epoch so the data order is a pure
+        function of (base_seed, epoch) — not of how many times this loader
+        object has been iterated. `skip_batches` fast-forwards past batches a
+        resumed run already consumed (they are never decoded). This is the
+        data-order half of the reference's checkpoint-before-walltime resume
+        contract (/root/reference/src/submit.py:65): a preempted run replays
+        nothing and skips nothing.
+        """
+        self._external_epoch = int(epoch)
+        if base_seed is not None:
+            self.seed = int(base_seed)
+        self._skip_batches = int(skip_batches)
 
     def __len__(self):
         n = len(self.dataset)
@@ -76,18 +94,23 @@ class Loader:
     def _index_order(self):
         idx = np.arange(len(self.dataset))
         if self.shuffle:
-            np.random.RandomState(self.seed + self._epoch).shuffle(idx)
+            epoch = self._external_epoch if self._external_epoch is not None else self._epoch
+            np.random.RandomState(self.seed + epoch).shuffle(idx)
         return idx
 
     def __iter__(self):
         idx = self._index_order()
-        self._epoch += 1
+        if self._external_epoch is None:
+            self._epoch += 1
         bs = self.batch_size
         n_full = len(idx) // bs
         batches = [idx[i * bs : (i + 1) * bs] for i in range(n_full)]
         rem = idx[n_full * bs :]
         if len(rem) and not self.drop_last:
             batches.append(rem)
+        if self._skip_batches:
+            batches = batches[self._skip_batches :]
+            self._skip_batches = 0
 
         out_q: queue.Queue = queue.Queue(maxsize=self.prefetch_batches)
         stop = threading.Event()

@@ -24,7 +24,7 @@ def _save_jpeg(path, arr):
     Image.fromarray((arr * 255).astype(np.uint8)).save(path, quality=90)
 
 
-def _make_scene(root, scene_id, n_samples, rng, labeled, rows):
+def _make_scene(root, scene_id, n_samples, rng, labeled, rows, fixed_road=False):
     for s in range(n_samples):
         d = os.path.join(root, f"scene_{scene_id}", f"sample_{s}")
         os.makedirs(d, exist_ok=True)
@@ -35,7 +35,10 @@ def _make_scene(root, scene_id, n_samples, rng, labeled, rows):
             from PIL import Image
 
             ego = np.full((800, 800, 3), 255, np.uint8)
-            r0, c0 = rng.randint(100, 500, 2)
+            # fixed_road: deterministic blob so a model can actually FIT the
+            # target (the random-position blob is uncorrelated with the noise
+            # camera images) — used by the convergence-gate tests
+            r0, c0 = (300, 300) if fixed_road else rng.randint(100, 500, 2)
             ego[r0 : r0 + 200, c0 : c0 + 200] = 128  # a road blob (non-white)
             Image.fromarray(ego).save(os.path.join(d, "ego.png"))
             for _ in range(rng.randint(1, 5)):
@@ -57,7 +60,7 @@ def _make_scene(root, scene_id, n_samples, rng, labeled, rows):
                 )
 
 
-def generate(out, scenes=2, samples=4, labeled_scenes=2, seed=0):
+def generate(out, scenes=2, samples=4, labeled_scenes=2, seed=0, fixed_road=False):
     import pandas as pd
 
     rng = np.random.RandomState(seed)
@@ -66,7 +69,8 @@ def generate(out, scenes=2, samples=4, labeled_scenes=2, seed=0):
     for i in range(scenes):
         _make_scene(out, i, samples, rng, labeled=False, rows=rows)
     for i in range(labeled_scenes):
-        _make_scene(out, 106 + i, samples, rng, labeled=True, rows=rows)
+        _make_scene(out, 106 + i, samples, rng, labeled=True, rows=rows,
+                    fixed_road=fixed_road)
     pd.DataFrame(rows).to_csv(os.path.join(out, "annotation.csv"), index=False)
     return out
 

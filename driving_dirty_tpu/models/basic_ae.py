@@ -29,10 +29,11 @@ from driving_dirty_tpu.data.dataset import (
 from driving_dirty_tpu.data.pipeline import Loader
 from driving_dirty_tpu.nn.autoencoder import Decoder, Encoder
 from driving_dirty_tpu.ops.stitch import normalize_images, six_to_one_task
+from driving_dirty_tpu.models.precision import Int8TrunkMixin
 from driving_dirty_tpu.train.task import Task, hp
 
 
-class BasicAE(Task):
+class BasicAE(Int8TrunkMixin, Task):
     name = "basic_ae"
 
     def __init__(self, hparams=None):
@@ -47,8 +48,7 @@ class BasicAE(Task):
         self.batch_size = hp(h, "batch_size", 16)
         self.in_channels = hp(h, "in_channels", 3)
         self.mask_all_six = hp(h, "mask_all_six", False)
-        # --precision 16 -> bfloat16 activations on the MXU (params stay f32)
-        self.compute_dtype = jnp.bfloat16 if hp(h, "precision", 32) == 16 else jnp.float32
+        # compute dtype comes from Int8TrunkMixin (precision {32,16,8})
         self.encoder = Encoder(
             self.hidden_dim, self.latent_dim, self.in_channels, self.input_height, self.input_width
         )
@@ -78,7 +78,8 @@ class BasicAE(Task):
         )
         fast = (not train) and hp(self.hparams, "fast_conv", False)
         enc_apply = lambda p, s, v: self.encoder.apply(
-            p, s, v, train=train, rng=k_enc, fast=fast
+            p, s, v, train=train, rng=k_enc, fast=fast,
+            **self.enc_int8_kwargs(train),
         )
         if train and hp(self.hparams, "remat", True):
             enc_apply = jax.checkpoint(enc_apply)

@@ -18,12 +18,12 @@ import jax.numpy as jnp
 
 from driving_dirty_tpu.core import layers as L
 from driving_dirty_tpu.models.labeled_data import LabeledDataMixin, add_labeled_data_args
-from driving_dirty_tpu.models.pretrained import init_backbone, load_pretrained_ae
+from driving_dirty_tpu.models.pretrained import Int8TrunkMixin, init_backbone, load_pretrained_ae
 from driving_dirty_tpu.ops.stitch import normalize_images, wide_stitch
 from driving_dirty_tpu.train.task import Task, hp
 
 
-class Boxes(LabeledDataMixin, Task):
+class Boxes(Int8TrunkMixin, LabeledDataMixin, Task):
     name = "bb_mlp"
 
     def __init__(self, hparams=None):
@@ -46,13 +46,14 @@ class Boxes(LabeledDataMixin, Task):
         )
 
     def forward(self, params, state, images, *, train: bool, rng):
-        pano = wide_stitch(normalize_images(images))
+        pano = wide_stitch(normalize_images(images, self.compute_dtype))
         z, se = self.ae.encoder.apply(
             params["encoder"], state["encoder"], pano, train=train, rng=rng,
             fast=(not train) and hp(self.hparams, "fast_conv", False),
+            **self.enc_int8_kwargs(train),
         )
         y = jax.nn.relu(self.fc1.apply(params["fc1"], z))
-        y = self.fc2.apply(params["fc2"], y)
+        y = self.fc2.apply(params["fc2"], y).astype(jnp.float32)  # loss in f32
         return y.reshape(y.shape[0], self.max_bb, 2, 4), {"encoder": se}
 
     def loss(self, params, state, batch, rng, *, train: bool):

@@ -42,9 +42,6 @@ class BBFasterRCNN(Int8TrunkMixin, LabeledDataMixin, Task):
         super().__init__(hparams)
         h = self.hparams
         self.batch_size = hp(h, "batch_size", 6)
-        self.compute_dtype = (
-            jnp.bfloat16 if hp(h, "precision", 32) in (16, 8) else jnp.float32
-        )
         self.unfreeze_epoch_no = hp(h, "unfreeze_epoch_no", 10) or 10
         self.ae, self._ae_params, self._ae_state = load_pretrained_ae(h)
         self.cfg = DetectionConfig(
@@ -136,6 +133,50 @@ class BBFasterRCNN(Int8TrunkMixin, LabeledDataMixin, Task):
         out = jax.lax.map(lambda xr: run(xr[0], xr[1] if road is not None else None), (ims, rds))
         return jax.tree.map(lambda x: x.reshape(b, *x.shape[2:]), out)
 
+    # --- validation metrics ----------------------------------------------
+    _host_predict = None
+
+    def host_val_metrics(self, params, state, batch, bmask):
+        """`val_ats`: the official box threat score over this val batch.
+
+        Completes the metric the reference imports into its val step but
+        leaves commented out (/root/reference/src/bounding_box_model/
+        fast_rcnn/bb_fast_rcnn_w_map.py:139-154): jitted fixed-shape detection
+        inference on device, then pixel AABB -> meter corners
+        (ops.coords.aabb_to_corners) and the host-side polygon-IoU ATS.
+        Called by the Trainer's validation loop per batch; disable with
+        --val_ats 0 if val wall-time matters."""
+        if not hp(self.hparams, "val_ats", True):
+            return {}
+        import numpy as np
+        from driving_dirty_tpu.metrics.threat import ats_bounding_boxes
+        from driving_dirty_tpu.ops.coords import aabb_to_corners
+
+        if self._host_predict is None:
+            if self.uses_roadmap:
+                self._host_predict = jax.jit(
+                    lambda p, s, im, rd: self.predict(p, s, im, rd)
+                )
+            else:
+                self._host_predict = jax.jit(
+                    lambda p, s, im, rd: self.predict(p, s, im, None)
+                )
+        dets = self._host_predict(params, state, batch["images"], batch.get("road"))
+        boxes_m = np.asarray(aabb_to_corners(dets["boxes"]))  # [b, D, 2, 4]
+        thr = hp(self.hparams, "val_ats_score_thresh", 0.5)
+        valid = np.asarray(dets["valid"]) & (np.asarray(dets["scores"]) > thr)
+        gt = np.asarray(batch["boxes"])
+        gtv = np.asarray(batch["box_valid"])
+        scores = []
+        for j in range(min(len(bmask), len(gt))):
+            if not bmask[j]:
+                continue
+            gt_j = gt[j][gtv[j]]
+            if len(gt_j) == 0:
+                continue
+            scores.append(float(ats_bounding_boxes(boxes_m[j][valid[j]], gt_j)))
+        return {"val_ats": float(np.mean(scores))} if scores else {}
+
     # --- optimization ----------------------------------------------------
     def learning_rate(self):
         return hp(self.hparams, "learning_rate", 1e-3)
@@ -161,6 +202,9 @@ class BBFasterRCNN(Int8TrunkMixin, LabeledDataMixin, Task):
         parser.add_argument("--rpn_post_nms_top_n", type=int, default=1000)
         parser.add_argument("--box_batch_per_image", type=int, default=512)
         parser.add_argument("--mse_loss", action="store_true", default=False)
+        parser.add_argument("--val_ats", type=int, default=1, choices=[0, 1],
+                            help="compute the box threat score (val_ats) during validation")
+        parser.add_argument("--val_ats_score_thresh", type=float, default=0.5)
         add_labeled_data_args(parser)
         return parser
 

@@ -41,7 +41,6 @@ class MultiTask(Int8TrunkMixin, LabeledDataMixin, Task):
         self.batch_size = hp(h, "batch_size", 16)
         self.box_loss_weight = hp(h, "box_loss_weight", 1.0)
         self.unfreeze_epoch_no = hp(h, "unfreeze_epoch_no", 20) or 20
-        self.compute_dtype = jnp.bfloat16 if hp(h, "precision", 32) == 16 else jnp.float32
         self.ae, self._ae_params, self._ae_state = load_pretrained_ae(h)
         self.latent_dim = self.ae.latent_dim
         self.rm_head = L.Linear(self.latent_dim, 800 * 800)

@@ -16,6 +16,7 @@ import jax
 import jax.numpy as jnp
 
 from driving_dirty_tpu.checkpoints import io as ckpt_io
+from driving_dirty_tpu.models.precision import Int8TrunkMixin  # noqa: F401  (re-export; tasks import it from here)
 from driving_dirty_tpu.models.basic_ae import BasicAE
 from driving_dirty_tpu.train.task import hp
 
@@ -62,38 +63,3 @@ def init_backbone(ae, params, state, rng, *, need_decoder: bool = False):
     return out_p, out_s
 
 
-class Int8TrunkMixin:
-    """Shared int8-inference plumbing for every model that runs the
-    pretrained encoder trunk (--precision 8, ops/quant.py).
-
-    Subclasses pass `**self.enc_int8_kwargs(train)` to encoder.apply and call
-    `calibrate_int8_on(encoder_params, sample_input)` eagerly (before any
-    jit trace) — static scales are what make int8 a win; the dynamic
-    fallback measures slower than bf16 end-to-end (quant.py header)."""
-
-    _int8_scales = None
-
-    @property
-    def int8_trunk(self) -> bool:
-        return hp(self.hparams, "precision", 32) == 8
-
-    def calibrate_int8_on(self, encoder_params, x) -> None:
-        if not self.int8_trunk or self._int8_scales is not None:
-            return
-        if isinstance(x, jax.core.Tracer) or any(
-            isinstance(l, jax.core.Tracer) for l in jax.tree.leaves(encoder_params)[:1]
-        ):
-            # Called under a jit trace (e.g. a jitted predict): calibration
-            # needs concrete values, so leave scales unset — the quant path
-            # falls back to dynamic absmax (correct, slower). Call
-            # calibrate_int8 eagerly before tracing to get static scales.
-            return
-        from driving_dirty_tpu.ops import quant
-
-        self._int8_scales = quant.calibrate_trunk(encoder_params, x)
-
-    def enc_int8_kwargs(self, train: bool) -> dict:
-        return {
-            "int8": self.int8_trunk and not train,
-            "int8_scales": self._int8_scales,
-        }

@@ -45,12 +45,8 @@ class RoadMapBase(Int8TrunkMixin, LabeledDataMixin, Task):
         self.ae, self._ae_params, self._ae_state = load_pretrained_ae(h)
         self.latent_dim = self.ae.latent_dim
         self.fc1 = L.Linear(self.latent_dim, self.output_dim)
-        precision = hp(h, "precision", 32)
-        # precision 8 = TPU-native extension of the reference's {16,32}
-        # surface: bf16 compute with the conv trunk quantized to int8 at
-        # inference (ops/quant.py; 2x MXU MAC rate on v5e; int8_trunk and
-        # the scale plumbing come from Int8TrunkMixin).
-        self.compute_dtype = jnp.bfloat16 if precision in (16, 8) else jnp.float32
+        # compute dtype (precision {32,16,8} -> f32/bf16/bf16+int8 trunk)
+        # comes from Int8TrunkMixin — one code path for the whole zoo
         ue = hp(h, "unfreeze_epoch_no", None)
         self.unfreeze_epoch_no = self.unfreeze_default if ue is None else ue
 
@@ -69,7 +65,7 @@ class RoadMapBase(Int8TrunkMixin, LabeledDataMixin, Task):
         activations dominate HBM otherwise)."""
         x = wide_stitch(normalize_images(images, self.compute_dtype))
         fast = (not train) and hp(self.hparams, "fast_conv", False)
-        fused = hp(self.hparams, "fused_trunk", None)  # None = auto (TPU inference)
+        fused = hp(self.hparams, "fused_trunk", None)  # None = off (the Pallas kernel measured slower; see pallas/trunk.py)
         enc_apply = lambda p, s, v: self.ae.encoder.apply(
             p, s, v, train=train, rng=rng, fast=fast,
             fast_head=hp(self.hparams, "fast_head", False),

@@ -71,7 +71,7 @@ class BBSpatialModel(Int8TrunkMixin, LabeledDataMixin, Task):
 
     def forward(self, params, state, images, road=None, *, train: bool, rng):
         """[b, 6, H, W, C] (+road [b,800,800]) -> occupancy probs [b,800,800]."""
-        images = normalize_images(images)
+        images = normalize_images(images, self.compute_dtype)  # --precision 16/8 -> bf16 compute
         spatial, _ = self.space_map_cnn.apply(params["space_map_cnn"], {}, images)
         pano = wide_stitch(images)
         ssr, se = self.ae.encoder.apply(
@@ -81,11 +81,12 @@ class BBSpatialModel(Int8TrunkMixin, LabeledDataMixin, Task):
         )
         if self.uses_roadmap:
             probs, _ = self.box_merge.apply(
-                params["box_merge"], {}, ssr, spatial, road[..., None]
+                params["box_merge"], {}, ssr, spatial,
+                road[..., None].astype(spatial.dtype)
             )
         else:
             probs, _ = self.box_merge.apply(params["box_merge"], {}, ssr, spatial)
-        return probs[..., 0], {"encoder": se}
+        return probs[..., 0].astype(jnp.float32), {"encoder": se}  # losses in f32
 
     def _targets(self, batch):
         # Pallas kernel on TPU (streams row tiles, no [N, 800, 800] mask stack,

@@ -119,10 +119,15 @@ def match_anchors(
 def sample_balanced(key, labels, num_samples: int, positive_fraction: float):
     """Sample a fixed-size minibatch of anchor/proposal indices.
 
-    -> (idx [num_samples], is_pos [num_samples], weight [num_samples]) where
-    weight zeroes out slots that could not be filled. Random priority via
-    uniform noise + top_k (fixed-shape replacement for torch's randperm
-    subsampling inside torchvision's BalancedPositiveNegativeSampler).
+    -> (idx [num_samples], is_pos [num_samples], take [num_samples]): exactly
+    `num_samples` slots, of which sum(take) = n_pos + n_neg are real samples
+    (the rest are masked filler). Counts match torchvision's
+    BalancedPositiveNegativeSampler exactly:
+        n_pos = min(#positives, num_samples * positive_fraction)
+        n_neg = min(#negatives, num_samples - n_pos)
+    so callers' `sum(take)` normalizer equals torchvision's
+    `sampled_inds.numel()`. Random priority via uniform noise + top_k
+    (the fixed-shape replacement for torch.randperm subsampling).
     """
     kp, kn = jax.random.split(key)
     n = labels.shape[0]
@@ -135,19 +140,23 @@ def sample_balanced(key, labels, num_samples: int, positive_fraction: float):
     pos_val, pos_idx = lax.top_k(pos_priority, n_pos_want)
     pos_take = pos_val > NEG_INF / 2
     n_pos = jnp.sum(pos_take)
-    n_neg_want = num_samples - n_pos_want
     neg_val, neg_idx = lax.top_k(neg_priority, num_samples)  # over-sample negatives
-    # fill: first n_pos_want slots from positives (masked), rest negatives
+    # negatives fill whatever the positives left open
     neg_needed = num_samples - n_pos
     neg_rank = jnp.arange(num_samples)
     neg_take = (neg_val > NEG_INF / 2) & (neg_rank < neg_needed)
-    # Compose final fixed-size index list: positives then negatives.
-    idx = jnp.concatenate([pos_idx, neg_idx])[: num_samples + n_pos_want]
-    take = jnp.concatenate([pos_take, neg_take])[: num_samples + n_pos_want]
-    is_pos = jnp.concatenate(
-        [jnp.ones_like(pos_take), jnp.zeros_like(neg_take)]
-    )[: num_samples + n_pos_want]
-    return idx, is_pos & take, take
+    # Pack taken entries (<= num_samples by construction) into exactly
+    # num_samples slots, positives first.
+    cand_idx = jnp.concatenate([pos_idx, neg_idx])
+    cand_pos = jnp.concatenate(
+        [jnp.ones(n_pos_want, bool), jnp.zeros(num_samples, bool)]
+    )
+    cand_take = jnp.concatenate([pos_take, neg_take])
+    order = jnp.arange(cand_idx.shape[0], dtype=jnp.float32)
+    prio = jnp.where(cand_take, -order, NEG_INF)
+    val, sel = lax.top_k(prio, num_samples)
+    take = val > NEG_INF / 2
+    return cand_idx[sel], cand_pos[sel] & take, take
 
 
 # ---------------------------------------------------------------------------
@@ -171,6 +180,12 @@ def nms_fixed(boxes, scores, iou_threshold: float, max_out: int):
     status, so the loop converges in (longest chain) iterations — a handful
     in practice, K in the adversarial worst case — each a cheap [K, K]
     masked any-reduce on the VPU.
+
+    Cost caveats (deliberate trade-offs, not bugs): worst case is
+    O(chain * K^2) = O(K^3) for an adversarial score-descending overlap
+    chain, vs the sequential scan's fixed O(K^2); and under vmap all images
+    lock-step to the slowest image's convergence. Real detection inputs
+    converge in <10 iterations; correctness is exact either way.
     """
     k = boxes.shape[0]
     order = jnp.argsort(-scores)
@@ -313,7 +328,16 @@ def _roi_align_fwd_impl(features, rois, output_size, spatial_scale,
     bx = _interp_matrix(xs, W, output_size, s).astype(features.dtype)
     flat = features.reshape(H, W * C)
     r = rois.shape[0]
-    chunk = _ROI_MATMUL_CHUNK if r % _ROI_MATMUL_CHUNK == 0 else r
+    # ceil-div chunking with a zero-padded tail: the [chunk, out, W, C] f32
+    # temp stays bounded for EVERY roi count (the old exact-divisibility
+    # fallback silently ran unchunked at e.g. the default R=1000 eval path —
+    # ~358 MB/image at reference dims)
+    chunk = min(r, _ROI_MATMUL_CHUNK)
+    nc = (r + chunk - 1) // chunk
+    pad = nc * chunk - r
+    if pad:
+        by = jnp.concatenate([by, jnp.zeros((pad,) + by.shape[1:], by.dtype)])
+        bx = jnp.concatenate([bx, jnp.zeros((pad,) + bx.shape[1:], bx.dtype)])
 
     def run(args):
         by_c, bx_c = args  # [chunk, out, H], [chunk, out, W]
@@ -328,14 +352,13 @@ def _roi_align_fwd_impl(features, rois, output_size, spatial_scale,
         )
         return jnp.transpose(out, (0, 2, 1, 3))  # [r, I, J, C]
 
-    if chunk == r:
+    if nc == 1:
         out = run((by, bx))
     else:
-        nc = r // chunk
         out = lax.map(run, (by.reshape(nc, chunk, output_size, H),
                             bx.reshape(nc, chunk, output_size, W)))
-        out = out.reshape(r, output_size, output_size, C)
-    return out.astype(jnp.float32)
+        out = out.reshape(nc * chunk, output_size, output_size, C)
+    return out[:r].astype(jnp.float32)
 
 
 def _roi_align_fwd(features, rois, output_size, spatial_scale, sampling_ratio, aligned):

@@ -73,6 +73,7 @@ class Trainer:
         debug_nans: bool = False,
         donate_buffers: bool | None = None,
         checkpoint_every_n_steps: int | None = None,
+        max_steps: int | None = None,
     ):
         self.max_epochs = max_epochs
         self.root = default_root_dir
@@ -104,7 +105,9 @@ class Trainer:
             donate_buffers = jax.default_backend() not in ("axon",)
         self.donate_buffers = donate_buffers
         self.checkpoint_every_n_steps = checkpoint_every_n_steps
+        self.max_steps = max_steps
         self._preempted = False
+        self._cost_logged = False
         self.global_step = 0
 
     def _install_preemption_handler(self):
@@ -153,6 +156,7 @@ class Trainer:
         # gradient psum from the shardings — no explicit collectives.
         if self.donate_buffers:
             return jax.jit(fused, donate_argnums=(0, 1, 2))
+        del fused  # split mode below
         # Split-program mode (axon): the fused grad+update program miscompiles
         # on the tunneled TPU for some inputs (worker crash, observed on the
         # detection step); two separately-compiled programs run clean and
@@ -165,7 +169,35 @@ class Trainer:
             params, opt_state = ju(params, opt_state, grads, grad_mask)
             return params, opt_state, new_state, metrics
 
+        split._grad_jit = jg  # exposed for the cost-analysis fallback
         return split
+
+    def _log_cost_analysis(self, train_step, logger, args):
+        """Compiled-HLO cost analysis into the metrics JSONL (SURVEY.md §5.1
+        fallback for platforms where jax.profiler is unusable, e.g. the
+        tunneled axon TPU): flops + HBM bytes of the train step, logged once.
+        The lowering hits the persistent compilation cache (same HLO as the
+        step that just ran), so this costs a trace, not a compile."""
+        try:
+            target = getattr(train_step, "_grad_jit", None)
+            if target is not None:
+                params, opt_state, state, grad_mask, batch, rng = args
+                lowered = target.lower(params, state, batch, rng)
+            elif hasattr(train_step, "lower"):
+                lowered = train_step.lower(*args)
+            else:
+                return
+            ca = lowered.compile().cost_analysis()
+            if isinstance(ca, list):  # older jax returns per-device list
+                ca = ca[0] if ca else {}
+            out = {}
+            for k in ("flops", "bytes accessed"):
+                if k in ca:
+                    out["cost_" + k.replace(" ", "_")] = float(ca[k])
+            if out:
+                logger.log_scalars(out, self.global_step)
+        except Exception as e:  # noqa: BLE001 — diagnostics only, never fatal
+            print(f"[trainer] cost analysis unavailable: {e}")
 
     def _make_val_step(self, task):
         def val_step(params, state, batch, rng):
@@ -174,6 +206,29 @@ class Trainer:
         return jax.jit(val_step)
 
     # ------------------------------------------------------------------
+    def _save_ckpt(self, path, task, params, state, opt_state, rng, meta,
+                   best_val, plateau_wait, lr):
+        """One checkpoint format for last/best/mid-epoch saves.
+
+        Carries the FULL training state — params, BN state, optimizer state
+        (Adam moments + injected LR), LR-plateau counters, best-val tracker,
+        rng key, and the (epoch, batch) data-order cursor — so a preempted run
+        resumes exactly. This is the Lightning `optimizer_states`/
+        `lr_schedulers` contract the reference's walltime-resubmit flow
+        depends on (/root/reference/src/submit.py:65, SURVEY.md §5.4)."""
+        meta = dict(meta)
+        meta["trainer_state"] = {
+            "best_val": float(best_val),
+            "plateau_wait": int(plateau_wait),
+            "lr": float(lr),
+            "seed": int(self.seed),
+        }
+        return ckpt_io.save(
+            path, params=params, state=state, opt_state=opt_state,
+            hparams=vars(task.hparams), meta=meta,
+            extra={"rng": np.asarray(jax.device_get(rng))},
+        )
+
     def fit(self, task, resume_from: str | None = None) -> FitResult:
         run_dir = os.path.join(self.root, task.name)
         logger = MetricsLogger(os.path.join(run_dir, "tb"))
@@ -185,13 +240,21 @@ class Trainer:
         tx = self._build_optimizer(task)
         opt_state = tx.init(params)
         start_epoch = 0
+        resume_batch = 0
+        resume_blob = None
         if resume_from:
-            blob = ckpt_io.load(resume_from)
-            params = jax.tree.map(jnp.asarray, blob["params"])
-            if blob.get("state") is not None:
-                state = jax.tree.map(jnp.asarray, blob["state"])
-            start_epoch = int(blob.get("meta", {}).get("epoch", -1)) + 1
-            self.global_step = int(blob.get("meta", {}).get("global_step", 0))
+            resume_blob = ckpt_io.load(resume_from)
+            params = jax.tree.map(jnp.asarray, resume_blob["params"])
+            if resume_blob.get("state") is not None:
+                state = jax.tree.map(jnp.asarray, resume_blob["state"])
+            meta = resume_blob.get("meta", {})
+            if meta.get("mid_epoch") and "batch_in_epoch" in meta:
+                # exact mid-epoch resume: same epoch, skip consumed batches
+                start_epoch = int(meta.get("epoch", 0))
+                resume_batch = int(meta["batch_in_epoch"])
+            else:
+                start_epoch = int(meta.get("epoch", -1)) + 1
+            self.global_step = int(meta.get("global_step", 0))
 
         if self.mesh is not None:
             rules = getattr(task, "param_sharding_rules", lambda path, leaf: None)
@@ -210,6 +273,23 @@ class Trainer:
         plateau_wait, lr = 0, task.learning_rate()
         scenes_per_sec = 0.0
 
+        if resume_blob is not None:
+            # optimizer moments + injected LR (placed on the fresh state's
+            # shardings), plateau counters, best-val, and the rng stream —
+            # restored after mesh placement so tx.init provides the template
+            if resume_blob.get("opt_state") is not None:
+                opt_state = ckpt_io.restore_opt_state(opt_state, resume_blob["opt_state"])
+            ts = resume_blob.get("meta", {}).get("trainer_state") or {}
+            if ts:
+                best_val = float(ts.get("best_val", best_val))
+                plateau_wait = int(ts.get("plateau_wait", 0))
+                lr = float(ts.get("lr", lr))
+                if hasattr(opt_state, "hyperparams"):
+                    opt_state.hyperparams["learning_rate"] = jnp.asarray(lr)
+            extra = resume_blob.get("extra") or {}
+            if extra.get("rng") is not None:
+                rng = jnp.asarray(np.asarray(extra["rng"]), dtype=jnp.uint32)
+
         for epoch in range(start_epoch, self.max_epochs):
             task.current_epoch = epoch
             bool_mask = task.freeze_mask(params, epoch)
@@ -221,15 +301,20 @@ class Trainer:
 
             # ---- train epoch ----
             loader = task.train_loader()
-            it = iter(loader)
-            if self.mesh is not None:
-                it = device_prefetch(it, sharding=None)  # batch split below
-            else:
-                it = device_prefetch(it)
+            if hasattr(loader, "set_epoch"):
+                # data order = f(seed, epoch); resume skips consumed batches
+                loader.set_epoch(epoch, base_seed=self.seed, skip_batches=resume_batch)
+            batch_offset = resume_batch
+            resume_batch = 0
+            # prefetch straight into the data-parallel layout under a mesh —
+            # one host->HBM transfer, already sharded (no re-put per step)
+            data_sharding = mesh_lib.batch_sharding(self.mesh) if self.mesh is not None else None
+            it = device_prefetch(iter(loader), sharding=data_sharding)
             t0 = time.perf_counter()
             n_scenes = 0
             n_batches = 0
             profiling = False
+            t_log, steps_since_log = t0, 0
             for batch_idx, (batch, bmask) in enumerate(it):
                 # SURVEY.md §5.1: first-class step profiling. Trace steps
                 # [2, 8) of epoch 0 (skipping compile) into --profile_dir for
@@ -241,10 +326,14 @@ class Trainer:
                     elif batch_idx == 8 and profiling:
                         jax.profiler.stop_trace()
                         profiling = False
-                if self.limit_train_batches is not None and batch_idx >= self.limit_train_batches:
+                # limit counts absolute batch position within the epoch, so a
+                # mid-epoch resume (batch_offset > 0) stops where the
+                # uninterrupted run would have
+                if (
+                    self.limit_train_batches is not None
+                    and batch_offset + batch_idx >= self.limit_train_batches
+                ):
                     break
-                if self.mesh is not None:
-                    batch = mesh_lib.shard_batch(self.mesh, batch)
                 rng, step_rng = jax.random.split(rng)
                 params, opt_state, state, metrics = train_step(
                     params, opt_state, state, grad_mask, batch, step_rng
@@ -252,10 +341,28 @@ class Trainer:
                 bs = jax.tree.leaves(batch)[0].shape[0]
                 n_scenes += bs
                 n_batches += 1
+                steps_since_log += 1
                 if self.global_step % self.log_every == 0:
+                    # log_scalars float()s each metric, which syncs to this
+                    # step's completion — so the elapsed time since the last
+                    # log point is real compute wall time, giving avg step
+                    # latency without syncing every step (SURVEY.md §5.1
+                    # fallback when the profiler is unavailable)
+                    scalars = {k: v for k, v in metrics.items()}
+                    logger.log_scalars(scalars, self.global_step, prefix="train_")
+                    now = time.perf_counter()
                     logger.log_scalars(
-                        {k: v for k, v in metrics.items()}, self.global_step, prefix="train_"
+                        {"step_ms": (now - t_log) * 1000.0 / steps_since_log},
+                        self.global_step,
                     )
+                    t_log, steps_since_log = now, 0
+                if epoch == start_epoch and batch_idx == 0 and not self._cost_logged:
+                    self._cost_logged = True
+                    if not os.environ.get("DD_NO_COST_ANALYSIS"):
+                        self._log_cost_analysis(
+                            train_step, logger,
+                            (params, opt_state, state, grad_mask, batch, step_rng),
+                        )
                 # periodic image logging (reference: every --output_img_freq
                 # batches, e.g. autoencoder.py:87-88); runs eagerly off the
                 # compiled path at low cadence
@@ -268,6 +375,8 @@ class Trainer:
                     except NotImplementedError:
                         pass
                 self.global_step += 1
+                if self.max_steps is not None and self.global_step >= self.max_steps:
+                    self._preempted = True  # same clean-stop path as SIGTERM
                 # mid-epoch / preemption checkpointing (SURVEY.md §5.3)
                 if self.enable_checkpointing and (
                     self._preempted
@@ -276,11 +385,13 @@ class Trainer:
                         and self.global_step % self.checkpoint_every_n_steps == 0
                     )
                 ):
-                    ckpt_io.save(
-                        os.path.join(run_dir, "last.ckpt"),
-                        params=params, state=state, hparams=vars(task.hparams),
-                        meta={"epoch": epoch - 1, "global_step": self.global_step,
+                    self._save_ckpt(
+                        os.path.join(run_dir, "last.ckpt"), task, params, state,
+                        opt_state, rng,
+                        meta={"epoch": epoch, "global_step": self.global_step,
+                              "batch_in_epoch": batch_offset + batch_idx + 1,
                               "task": task.name, "mid_epoch": True},
+                        best_val=best_val, plateau_wait=plateau_wait, lr=lr,
                     )
                 if self._preempted:
                     print(f"[{task.name}] preemption signal: checkpoint saved, stopping")
@@ -326,20 +437,22 @@ class Trainer:
                         logger.log_scalars({"learning_rate": lr}, self.global_step)
 
             # ---- checkpointing (best tracking runs regardless) ----
-            if self.enable_checkpointing:
-                meta = {"epoch": epoch, "global_step": self.global_step, "task": task.name}
-                last_path = os.path.join(run_dir, "last.ckpt")
-                ckpt_io.save(
-                    last_path, params=params, state=state, hparams=vars(task.hparams), meta=meta
-                )
             if monitored < best_val:
                 best_val = monitored
                 if self.enable_checkpointing:
                     best_path = os.path.join(run_dir, "best.ckpt")
-                    ckpt_io.save(
-                        best_path, params=params, state=state, hparams=vars(task.hparams),
+                    self._save_ckpt(
+                        best_path, task, params, state, opt_state, rng,
                         meta={"epoch": epoch, "global_step": self.global_step, "task": task.name},
+                        best_val=best_val, plateau_wait=plateau_wait, lr=lr,
                     )
+            if self.enable_checkpointing:
+                last_path = os.path.join(run_dir, "last.ckpt")
+                self._save_ckpt(
+                    last_path, task, params, state, opt_state, rng,
+                    meta={"epoch": epoch, "global_step": self.global_step, "task": task.name},
+                    best_val=best_val, plateau_wait=plateau_wait, lr=lr,
+                )
 
         logger.close()
         return FitResult(params, state, best_val, best_path, last_path, scenes_per_sec)
@@ -351,17 +464,41 @@ class Trainer:
             return {}
         sums: dict = {}
         weights = 0.0
-        for batch_idx, (batch, bmask) in enumerate(device_prefetch(iter(loader))):
+        ndata = int(self.mesh.shape["data"]) if self.mesh is not None else 1
+        data_sharding = mesh_lib.batch_sharding(self.mesh) if self.mesh is not None else None
+        host_hook = getattr(task, "host_val_metrics", None)
+        for batch_idx, (batch, bmask) in enumerate(iter(loader)):
             if self.limit_val_batches is not None and batch_idx >= self.limit_val_batches:
                 break
-            if self.mesh is not None:
-                batch = mesh_lib.shard_batch(self.mesh, batch)
+            k = int(np.sum(bmask))
+            if k == 0:
+                continue
+            bs = len(bmask)
+            # Unbiased tail handling: the loader pads the final partial batch
+            # with copies; computing the batch-mean metric over pad rows
+            # biases the number checkpoint selection keys on. Slice the pads
+            # off (one extra jit specialization for the tail shape, amortized
+            # across epochs). Under a mesh, keep divisibility by the data
+            # axis: at most ndata-1 duplicate rows remain, weighted out of
+            # the epoch aggregate.
+            m = min(bs, ((k + ndata - 1) // ndata) * ndata)
+            if m < bs:
+                batch = jax.tree.map(lambda x: x[:m], batch)
+            if data_sharding is not None:
+                batch = jax.tree.map(lambda x: jax.device_put(x, data_sharding), batch)
             rng, step_rng = jax.random.split(rng)
             metrics = val_step(params, state, batch, step_rng)
-            w = float(np.sum(bmask))
-            for k, v in metrics.items():
-                sums[k] = sums.get(k, 0.0) + float(np.asarray(v)) * w
+            w = float(k)
+            for key, v in metrics.items():
+                sums[key] = sums.get(key, 0.0) + float(np.asarray(v)) * w
             weights += w
+            if host_hook is not None:
+                # host-side (non-jittable) metrics, e.g. the polygon-IoU ATS
+                # box score (reference: compute_ats_bounding_boxes in the val
+                # step, bb_fast_rcnn_w_map.py:139-154)
+                hm = host_hook(params, state, batch, np.asarray(bmask)[:m]) or {}
+                for key, v in hm.items():
+                    sums[key] = sums.get(key, 0.0) + float(v) * w
         if not weights:
             return {}
         return {k: v / weights for k, v in sums.items()}

@@ -206,6 +206,27 @@ def test_sample_balanced_no_positives():
     assert np.asarray(take).sum() == 16
 
 
+def test_sample_balanced_exact_size_and_scarce():
+    # Contract (matches torchvision BalancedPositiveNegativeSampler):
+    # output is EXACTLY num_samples slots; sum(take) = n_pos + n_neg with
+    # n_pos = min(#pos, num*pf), n_neg = min(#neg, num - n_pos).
+    key = jax.random.PRNGKey(2)
+    labels = jnp.asarray([1] * 3 + [0] * 100)
+    idx, is_pos, take = D.sample_balanced(key, labels, 16, 0.5)
+    assert idx.shape == (16,) and is_pos.shape == (16,) and take.shape == (16,)
+    assert np.asarray(is_pos).sum() == 3          # all scarce positives taken
+    assert np.asarray(take).sum() == 16           # negatives fill the rest
+
+    # scarce negatives too: total taken < num_samples, rest masked filler
+    labels2 = jnp.asarray([1] * 3 + [0] * 2 + [-1] * 50)
+    idx2, is_pos2, take2 = D.sample_balanced(key, labels2, 16, 0.5)
+    assert idx2.shape == (16,)
+    assert np.asarray(is_pos2).sum() == 3
+    assert np.asarray(take2).sum() == 5
+    l2 = np.asarray(labels2)
+    assert (l2[np.asarray(idx2)[np.asarray(take2)]] != -1).all()
+
+
 def test_smooth_l1():
     x = jnp.asarray([0.0, 0.05, 0.5, -2.0])
     got = np.asarray(B.smooth_l1(x, beta=1.0 / 9.0))

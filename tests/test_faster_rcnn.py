@@ -6,6 +6,8 @@ full-size config is exercised on TPU by the CLI/bench paths.
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.heavy  # 800x800 compiles / full fits: fast tier runs -m "not heavy"
+
 import jax
 import jax.numpy as jnp
 
@@ -91,6 +93,35 @@ def test_faster_rcnn_predict_detections():
     assert (s[~v] == 0).all()
     b = np.asarray(dets["boxes"])
     assert (b >= 0).all() and (b <= TINY["image_size"]).all()
+
+
+def test_val_ats_plumbing_gt_roundtrip():
+    """Feeding GT boxes back as predictions must score val_ats == 1.0
+    (VERDICT r1 item 4: metric plumbing sanity for the training-loop ATS)."""
+    from driving_dirty_tpu.ops.coords import corners_to_aabb
+
+    task = BBFasterRCNN(TINY)
+    batch = _batch(img=TINY["image_size"])
+    b, max_bb = batch["boxes"].shape[:2]
+    aabb = corners_to_aabb(batch["boxes"])  # GT as pixel AABBs
+    task._host_predict = lambda p, s, im, rd: {
+        "boxes": aabb,
+        "scores": jnp.where(batch["box_valid"], 1.0, 0.0),
+        "labels": batch["categories"],
+        "valid": batch["box_valid"],
+    }
+    m = task.host_val_metrics({}, {}, batch, np.ones(b, bool))
+    assert m["val_ats"] == pytest.approx(1.0)
+
+    # and with no predictions, the score is 0 (not missing / NaN)
+    task._host_predict = lambda p, s, im, rd: {
+        "boxes": aabb,
+        "scores": jnp.zeros((b, max_bb)),
+        "labels": batch["categories"],
+        "valid": jnp.zeros((b, max_bb), bool),
+    }
+    m0 = task.host_val_metrics({}, {}, batch, np.ones(b, bool))
+    assert m0["val_ats"] == pytest.approx(0.0)
 
 
 def test_faster_rcnn_no_gt_boxes_still_trains():

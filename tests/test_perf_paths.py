@@ -9,6 +9,10 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+import pytest
+
+pytestmark = pytest.mark.heavy  # 800x800 compiles / full fits: fast tier runs -m "not heavy"
+
 
 def _tiny_rcnn(**over):
     from driving_dirty_tpu.models.faster_rcnn import BBFasterRCNN

@@ -3,6 +3,10 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+import pytest
+
+pytestmark = pytest.mark.heavy  # 800x800 compiles / full fits: fast tier runs -m "not heavy"
+
 from driving_dirty_tpu.ops.quant import (
     absmax_scale,
     conv2d_int8,

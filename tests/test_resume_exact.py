@@ -1,0 +1,151 @@
+"""Exact checkpoint/resume: a preempted run continues step-for-step.
+
+VERDICT r1 item 1 / SURVEY.md §5.4: the reference's Slurm walltime-resubmit
+flow (/root/reference/src/submit.py:65) depends on Lightning checkpoints
+carrying optimizer_states + lr_schedulers. Here `last.ckpt` round-trips
+(params, BN state, Adam moments, injected LR, plateau counters, best-val,
+rng key, epoch/batch data-order cursor); these tests kill a run mid-epoch
+and require the resumed loss trajectory to MATCH the uninterrupted run's,
+step for step, bitwise-close.
+"""
+import json
+import os
+
+import numpy as np
+import pytest
+
+pytestmark = pytest.mark.heavy  # 800x800 compiles / full fits: fast tier runs -m "not heavy"
+
+from driving_dirty_tpu.checkpoints import io as ckpt_io
+from driving_dirty_tpu.data.synthetic import generate
+from driving_dirty_tpu.models.basic_ae import BasicAE
+from driving_dirty_tpu.train.trainer import Trainer
+
+TINY = dict(
+    hidden_dim=8,
+    latent_dim=8,
+    batch_size=2,
+    learning_rate=1e-3,
+    samples_per_scene=4,
+    num_unlabeled_scenes=3,
+    output_img_freq=0,
+)
+
+
+@pytest.fixture(scope="module")
+def data_dir(tmp_path_factory):
+    d = tmp_path_factory.mktemp("dd_resume")
+    generate(str(d), scenes=3, samples=4, labeled_scenes=2, seed=0)
+    return str(d)
+
+
+def _read_losses(root, task_name):
+    """step -> train_loss from the metrics JSONL (log_every_n_steps=1)."""
+    path = os.path.join(root, task_name, "tb", "metrics.jsonl")
+    out = {}
+    with open(path) as f:
+        for line in f:
+            rec = json.loads(line)
+            if "train_loss" in rec:
+                out[rec["step"]] = rec["train_loss"]
+    return out
+
+
+def _mk_trainer(root, **kw):
+    base = dict(
+        max_epochs=2,
+        default_root_dir=root,
+        limit_train_batches=3,
+        limit_val_batches=1,
+        log_every_n_steps=1,
+        enable_progress_bar=False,
+    )
+    base.update(kw)
+    return Trainer(**base)
+
+
+def test_preempt_resume_matches_uninterrupted(data_dir, tmp_path):
+    # Run A: uninterrupted, 2 epochs x 3 batches = 6 steps.
+    task_a = BasicAE(dict(link=data_dir, **TINY))
+    ra = _mk_trainer(str(tmp_path / "a")).fit(task_a)
+    losses_a = _read_losses(str(tmp_path / "a"), "basic_ae")
+    assert set(losses_a) == {0, 1, 2, 3, 4, 5}
+
+    # Run B: preempted after step 4 (mid-epoch 1), then resumed.
+    task_b = BasicAE(dict(link=data_dir, **TINY))
+    rb = _mk_trainer(str(tmp_path / "b"), max_steps=4).fit(task_b)
+    blob = ckpt_io.load(rb.last_ckpt_path)
+    assert blob["meta"]["mid_epoch"] is True
+    assert blob["meta"]["epoch"] == 1
+    assert blob["meta"]["batch_in_epoch"] == 1
+    assert blob["opt_state"] is not None and len(blob["opt_state"]) > 0
+    assert blob["extra"] is not None and "rng" in blob["extra"]
+    assert "trainer_state" in blob["meta"]
+
+    task_b2 = BasicAE(dict(link=data_dir, **TINY))
+    _mk_trainer(str(tmp_path / "b2")).fit(task_b2, resume_from=rb.last_ckpt_path)
+    losses_b2 = _read_losses(str(tmp_path / "b2"), "basic_ae")
+
+    # The resumed run produces exactly the missing steps {4, 5}, and each
+    # matches the uninterrupted trajectory: same data order (epoch-keyed
+    # shuffle + batch skip), same rng stream, same Adam moments.
+    assert set(losses_b2) == {4, 5}
+    for step in (4, 5):
+        np.testing.assert_allclose(losses_b2[step], losses_a[step], rtol=1e-6)
+
+    # And run B's pre-preemption steps also matched run A's.
+    losses_b = _read_losses(str(tmp_path / "b"), "basic_ae")
+    for step in (0, 1, 2, 3):
+        np.testing.assert_allclose(losses_b[step], losses_a[step], rtol=1e-6)
+
+
+def test_epoch_boundary_resume_restores_optimizer_and_lr(data_dir, tmp_path):
+    # End-of-epoch checkpoints carry optimizer state too: resume from the
+    # epoch-0 last.ckpt of a 1-epoch run and the epoch-1 losses match the
+    # uninterrupted 2-epoch run.
+    task_a = BasicAE(dict(link=data_dir, **TINY))
+    _mk_trainer(str(tmp_path / "a")).fit(task_a)
+    losses_a = _read_losses(str(tmp_path / "a"), "basic_ae")
+
+    task_c = BasicAE(dict(link=data_dir, **TINY))
+    rc = _mk_trainer(str(tmp_path / "c"), max_epochs=1).fit(task_c)
+    blob = ckpt_io.load(rc.last_ckpt_path)
+    assert blob["meta"].get("mid_epoch") is None
+    ts = blob["meta"]["trainer_state"]
+    assert ts["lr"] == pytest.approx(1e-3)
+    assert np.isfinite(ts["best_val"])
+
+    task_c2 = BasicAE(dict(link=data_dir, **TINY))
+    _mk_trainer(str(tmp_path / "c2")).fit(task_c2, resume_from=rc.last_ckpt_path)
+    losses_c2 = _read_losses(str(tmp_path / "c2"), "basic_ae")
+    assert set(losses_c2) == {3, 4, 5}
+    for step in (3, 4, 5):
+        np.testing.assert_allclose(losses_c2[step], losses_a[step], rtol=1e-6)
+
+
+def test_loader_set_epoch_orders(data_dir):
+    # set_epoch pins the shuffle: same (seed, epoch) -> same order; skip
+    # drops exactly the consumed batches.
+    from driving_dirty_tpu.data.pipeline import Loader
+
+    class _Idx:
+        def __len__(self):
+            return 10
+
+        def __getitem__(self, i):
+            return np.asarray([i])
+
+    l1 = Loader(_Idx(), 2, shuffle=True, num_workers=1)
+    l1.set_epoch(3, base_seed=7)
+    order1 = [b for b, _ in l1]
+    l2 = Loader(_Idx(), 2, shuffle=True, num_workers=1)
+    l2.set_epoch(3, base_seed=7)
+    order2 = [b for b, _ in l2]
+    np.testing.assert_array_equal(np.concatenate(order1), np.concatenate(order2))
+
+    l3 = Loader(_Idx(), 2, shuffle=True, num_workers=1)
+    l3.set_epoch(3, base_seed=7, skip_batches=2)
+    order3 = [b for b, _ in l3]
+    np.testing.assert_array_equal(
+        np.concatenate(order1[2:]), np.concatenate(order3)
+    )

@@ -3,6 +3,8 @@ run_test inference (the minimum end-to-end slice of SURVEY.md §7)."""
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.heavy  # 800x800 compiles / full fits: fast tier runs -m "not heavy"
+
 import jax
 import jax.numpy as jnp
 

@@ -3,6 +3,8 @@ pytrees, verified by output equality against the torch model."""
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.heavy  # 800x800 compiles / full fits: fast tier runs -m "not heavy"
+
 torch = pytest.importorskip("torch")
 import torch.nn.functional as TF  # noqa: E402
 
