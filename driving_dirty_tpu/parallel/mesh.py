@@ -23,10 +23,31 @@ import jax
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 
-def initialize_distributed(num_nodes: int = 1):
-    """Multi-host JAX runtime init (no-op for single host)."""
-    if num_nodes > 1:
-        jax.distributed.initialize()
+def initialize_distributed(num_nodes: int = 1, coordinator_address: str | None = None,
+                           num_processes: int | None = None, process_id: int | None = None):
+    """Multi-host JAX runtime init (no-op for single host).
+
+    On TPU pods / managed clusters, `jax.distributed.initialize()` self-
+    configures from the environment. For explicit topologies (and the
+    two-process CPU smoke test, tests/test_multihost.py), pass the
+    coordinator directly or set DD_COORDINATOR_ADDRESS / DD_NUM_PROCESSES /
+    DD_PROCESS_ID.
+    """
+    import os
+
+    ca = coordinator_address or os.environ.get("DD_COORDINATOR_ADDRESS")
+    if num_nodes <= 1 and not ca:
+        return
+    kwargs = {}
+    if ca:
+        kwargs = dict(
+            coordinator_address=ca,
+            num_processes=int(num_processes if num_processes is not None
+                              else os.environ.get("DD_NUM_PROCESSES", num_nodes)),
+            process_id=int(process_id if process_id is not None
+                           else os.environ.get("DD_PROCESS_ID", 0)),
+        )
+    jax.distributed.initialize(**kwargs)
 
 
 def build_mesh(num_devices: int | None = None, model_parallel: int = 1, devices=None) -> Mesh:
