@@ -113,11 +113,13 @@ class MultiTask(Int8TrunkMixin, LabeledDataMixin, Task):
         rm_loss = jnp.mean(
             jnp.maximum(rm_logits, 0) - rm_logits * rm_t + jnp.log1p(jnp.exp(-jnp.abs(rm_logits)))
         )
-        box_loss = _bce_probs(box_probs, self._box_targets(batch))
+        box_t = self._box_targets(batch)
+        box_loss = _bce_probs(box_probs, box_t)
         return {
             "val_loss": rm_loss + self.box_loss_weight * box_loss,
             "val_rm_ts_rounded": ts_road_map(rm_t, (rm_logits > 0).astype(jnp.float32)),
             "val_box_loss": box_loss,
+            "val_ts_boxes": ts_road_map(box_t, jnp.round(box_probs)),
         }
 
     # --- optimization ----------------------------------------------------

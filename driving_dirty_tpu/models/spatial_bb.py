@@ -109,6 +109,23 @@ class BBSpatialModel(Int8TrunkMixin, LabeledDataMixin, Task):
             loss = _bce_probs(probs, target)
         return loss, (new_state, {})
 
+    def val_metrics(self, params, state, batch, rng):
+        """Eval loss + the occupancy-map threat score of the thresholded
+        prediction vs the rasterized GT boxes (device-side; the pixel
+        analogue of compute_ts_road_map applied to the box channel)."""
+        from driving_dirty_tpu.metrics.threat import ts_road_map
+
+        target = self._targets(batch)
+        road = batch["road"] if self.uses_roadmap else None
+        probs, _ = self.forward(params, state, batch["images"], road, train=False, rng=rng)
+        loss = (
+            jnp.mean((probs - target) ** 2) if self.mse_loss else _bce_probs(probs, target)
+        )
+        return {
+            "val_loss": loss,
+            "val_ts_boxes": ts_road_map(target, jnp.round(probs)),
+        }
+
     # --- optimization ----------------------------------------------------
     def freeze_mask(self, params, epoch: int):
         if epoch >= self.unfreeze_epoch_no:

@@ -102,3 +102,33 @@ def test_submit_emit_commands(capsys):
     lines = [l for l in out.splitlines() if l.startswith("python")]
     assert len(lines) == 2  # unfreeze grid
     assert "--single_run" in lines[0]
+
+
+def test_spatial_val_metrics_include_box_ts():
+    # val reports the occupancy threat score of the thresholded prediction
+    # vs the rasterized GT target (device-side)
+    import jax
+    import numpy as np
+
+    from driving_dirty_tpu.models.spatial_bb import BBSpatialModel
+
+    task = BBSpatialModel(dict(
+        batch_size=1, pretrained_path=None, ae_hidden_dim=8, ae_latent_dim=8,
+        max_bb=8,
+    ))
+    params, state = task.init(jax.random.PRNGKey(0))
+    rng = np.random.RandomState(0)
+    boxes = np.zeros((1, 8, 2, 4), np.float32)
+    boxes[:, 0, 0] = [5, 5, -5, -5]
+    boxes[:, 0, 1] = [5, -5, 5, -5]
+    valid = np.zeros((1, 8), bool)
+    valid[:, 0] = True
+    batch = {
+        "images": rng.rand(1, 6, 256, 306, 3).astype(np.float32),
+        "boxes": boxes,
+        "box_valid": valid,
+        "road": (rng.rand(1, 800, 800) > 0.5).astype(np.float32),
+    }
+    m = task.val_metrics(params, state, batch, jax.random.PRNGKey(1))
+    assert np.isfinite(float(m["val_loss"]))
+    assert 0.0 <= float(m["val_ts_boxes"]) <= 1.0

@@ -40,6 +40,7 @@ def test_multitask_loss_and_metrics():
     assert {"rm_loss", "box_loss"} <= set(metrics)
     m = task.val_metrics(params, state, batch, jax.random.PRNGKey(1))
     assert 0.0 <= float(m["val_rm_ts_rounded"]) <= 1.0
+    assert 0.0 <= float(m["val_ts_boxes"]) <= 1.0
 
 
 def test_multitask_shared_encoder_matches_separate_paths():
