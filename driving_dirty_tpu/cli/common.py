@@ -70,6 +70,9 @@ def add_trainer_args(parser: argparse.ArgumentParser) -> argparse.ArgumentParser
     g.add_argument("--seed", type=int, default=REFERENCE_SEED)
     g.add_argument("--profile_dir", type=str, default=None)
     g.add_argument("--checkpoint_every_n_steps", type=int, default=None)
+    g.add_argument("--walltime_minutes", type=float, default=None,
+                   help="stop with a resumable checkpoint ~5 min before this "
+                        "budget (test-tube's minutes_to_checkpoint_before_walltime)")
     g.add_argument("--debug", action="store_true", help="enable jax debug_nans")
     g.add_argument("--num_workers", type=int, default=None,
                    help="decode pool threads (default: min(48, 4*cpus); the "
@@ -105,6 +108,7 @@ def trainer_from_args(args) -> Trainer:
         debug_nans=getattr(args, "debug", False),
         checkpoint_every_n_steps=getattr(args, "checkpoint_every_n_steps", None),
         max_steps=getattr(args, "max_steps", None),
+        walltime_minutes=getattr(args, "walltime_minutes", None),
     )
 
 

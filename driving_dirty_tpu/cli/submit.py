@@ -145,6 +145,23 @@ def _last_val_loss(trial_root):
     return best
 
 
+def _notify_done(args, name, rc, val_loss):
+    """Completion hook (--on_done_cmd): the reference notified by Slurm email
+    (test-tube notify_on_end, /root/reference/src/submit.py:55); on a TPU VM
+    the analog is a user shell hook (curl a webhook, touch a sentinel, ...)."""
+    cmd = getattr(args, "on_done_cmd", None)
+    if not cmd:
+        return
+    env = os.environ.copy()
+    env["DD_TRIAL_NAME"] = str(name)
+    env["DD_TRIAL_RC"] = str(rc)
+    env["DD_TRIAL_VAL_LOSS"] = "" if val_loss is None else repr(float(val_loss))
+    try:
+        subprocess.run(cmd, shell=True, env=env, timeout=120)
+    except Exception as e:  # noqa: BLE001 — notification must never kill runs
+        print(f"[submit] on_done_cmd failed: {e}")
+
+
 def run_trials_concurrent(args, trials, base_argv):
     """Run the grid as concurrent pinned subprocesses with per-trial logs.
 
@@ -186,7 +203,7 @@ def run_trials_concurrent(args, trials, base_argv):
                 cmd, stdout=log, stderr=subprocess.STDOUT,
                 env=_trial_env(i, n_par, dev_per_trial), cwd=os.getcwd(),
             )
-        return {
+        result = {
             "trial": i,
             "overrides": overrides,
             "rc": proc.returncode,
@@ -194,6 +211,8 @@ def run_trials_concurrent(args, trials, base_argv):
             "val_loss": _last_val_loss(trial_root),
             "log": log_path,
         }
+        _notify_done(args, f"trial_{i}", result["rc"], result["val_loss"])
+        return result
 
     with ThreadPoolExecutor(n_par) as pool:
         results = list(pool.map(run_one, enumerate(trials)))
@@ -242,6 +261,12 @@ def main(argv=None):
                         help="max concurrent trial subprocesses; implies the "
                              "--on_cluster runner when > 0 (default with "
                              "--on_cluster: 4)")
+    parser.add_argument("--on_done_cmd", type=str, default=None,
+                        help="shell command run after each trial with "
+                             "DD_TRIAL_NAME/DD_TRIAL_RC/DD_TRIAL_VAL_LOSS in "
+                             "the environment — the TPU-VM replacement for "
+                             "test-tube's notify_on_end email "
+                             "(reference submit.py:55)")
     args = parser.parse_args(argv)
     if args.on_cluster and not args.parallel_trials:
         args.parallel_trials = 4
@@ -270,7 +295,12 @@ def main(argv=None):
         task = task_cls(trial_args)
         trainer = trainer_from_args(trial_args)
         print(f"=== trial {i}/{len(trials)}: {overrides} ===")
-        results.append(trainer.fit(task, resume_from=trial_args.resume_from_checkpoint))
+        fit = trainer.fit(task, resume_from=trial_args.resume_from_checkpoint)
+        results.append(fit)
+        import numpy as _np
+
+        _notify_done(args, f"trial_{i}", 0,
+                     fit.best_val_loss if _np.isfinite(fit.best_val_loss) else None)
     return results
 
 

@@ -74,6 +74,8 @@ class Trainer:
         donate_buffers: bool | None = None,
         checkpoint_every_n_steps: int | None = None,
         max_steps: int | None = None,
+        walltime_minutes: float | None = None,
+        checkpoint_before_walltime_minutes: float = 5.0,
     ):
         self.max_epochs = max_epochs
         self.root = default_root_dir
@@ -106,9 +108,23 @@ class Trainer:
         self.donate_buffers = donate_buffers
         self.checkpoint_every_n_steps = checkpoint_every_n_steps
         self.max_steps = max_steps
+        # test-tube's minutes_to_checkpoint_before_walltime=5
+        # (/root/reference/src/submit.py:64-65): stop with a resumable
+        # checkpoint `checkpoint_before_walltime_minutes` before the
+        # `walltime_minutes` budget expires, so a resubmitted job continues
+        # exactly where this one left off.
+        self.walltime_minutes = walltime_minutes
+        self.checkpoint_before_walltime_minutes = checkpoint_before_walltime_minutes
+        self._walltime_t0 = time.perf_counter()
         self._preempted = False
         self._cost_logged = False
         self.global_step = 0
+
+    def _walltime_exceeded(self) -> bool:
+        if self.walltime_minutes is None:
+            return False
+        budget = (self.walltime_minutes - self.checkpoint_before_walltime_minutes) * 60.0
+        return time.perf_counter() - self._walltime_t0 >= max(budget, 0.0)
 
     def _install_preemption_handler(self):
         """SIGTERM -> checkpoint at the next step boundary, then exit the fit
@@ -377,6 +393,9 @@ class Trainer:
                 self.global_step += 1
                 if self.max_steps is not None and self.global_step >= self.max_steps:
                     self._preempted = True  # same clean-stop path as SIGTERM
+                if self._walltime_exceeded():
+                    print(f"[{task.name}] walltime budget reached: checkpointing for resubmit")
+                    self._preempted = True
                 # mid-epoch / preemption checkpointing (SURVEY.md §5.3)
                 if self.enable_checkpointing and (
                     self._preempted

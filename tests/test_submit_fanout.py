@@ -66,3 +66,17 @@ def test_two_trial_concurrent_run(data_dir, tmp_path):
     ovs = [tuple(sorted(r["overrides"].items())) for r in results]
     assert len(set(ovs)) == 2
     assert grid_trials("basic_ae", 2) == [r["overrides"] for r in sorted(results, key=lambda r: r["trial"])]
+
+
+def test_on_done_cmd_hook(tmp_path):
+    from types import SimpleNamespace
+
+    from driving_dirty_tpu.cli.submit import _notify_done
+
+    sentinel = tmp_path / "done.txt"
+    args = SimpleNamespace(
+        on_done_cmd=f'echo "$DD_TRIAL_NAME rc=$DD_TRIAL_RC vl=$DD_TRIAL_VAL_LOSS" > {sentinel}'
+    )
+    _notify_done(args, "trial_3", 0, 0.125)
+    assert sentinel.read_text().strip() == "trial_3 rc=0 vl=0.125"
+    _notify_done(SimpleNamespace(on_done_cmd=None), "x", 1, None)  # no-op

@@ -131,3 +131,24 @@ def test_periodic_and_preemption_checkpointing(data_dir, tmp_path):
     assert result.last_ckpt_path and _os.path.exists(result.last_ckpt_path)
     blob = ckpt_io.load(result.last_ckpt_path)
     assert blob["meta"].get("mid_epoch") is True
+
+
+def test_walltime_budget_stops_with_resumable_checkpoint(data_dir, tmp_path):
+    # test-tube's minutes_to_checkpoint_before_walltime (reference
+    # submit.py:64-65): a run whose walltime budget is already exhausted
+    # stops after one step with a mid-epoch resumable checkpoint.
+    task = BasicAE(dict(link=data_dir, **TINY))
+    trainer = Trainer(
+        max_epochs=5,
+        default_root_dir=str(tmp_path / "logs"),
+        limit_train_batches=3,
+        limit_val_batches=0,
+        enable_progress_bar=False,
+        walltime_minutes=0.0,             # budget already spent
+        checkpoint_before_walltime_minutes=0.0,
+    )
+    result = trainer.fit(task)
+    assert result.last_ckpt_path and os.path.exists(result.last_ckpt_path)
+    blob = ckpt_io.load(result.last_ckpt_path)
+    assert blob["meta"].get("mid_epoch") is True
+    assert blob["opt_state"] is not None
