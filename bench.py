@@ -26,7 +26,8 @@ import numpy as np
 
 BASELINE_CACHE = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BASELINE_SELF.json")
 HID, LAT = 128, 64
-BATCH = 256  # measured: 3145 scenes/s vs 2859 at 128 (bf16); 192 regresses (2408)
+BATCH = 256  # bf16 sweet spot: 3145 scenes/s vs 2859 at 128; 192 regresses (2408)
+BATCH_INT8 = 512  # int8 sweet spot: 3374 scenes/s (vs 3340 at 256)
 H, W = 256, 306
 
 
@@ -151,10 +152,13 @@ def get_baseline(rebaseline=False):
 def main(argv=None):
     ap = argparse.ArgumentParser()
     ap.add_argument("--rebaseline", action="store_true")
-    ap.add_argument("--batch", type=int, default=BATCH)
+    ap.add_argument("--batch", type=int, default=None,
+                    help="default: 512 for int8, 256 for bf16/f32 (measured optima)")
     ap.add_argument("--iters", type=int, default=20)
-    ap.add_argument("--precision", type=int, default=16, choices=[8, 16, 32],
-                    help="8 = int8-quantized conv trunk (inference-only, ops/quant.py)")
+    ap.add_argument("--precision", type=int, default=8, choices=[8, 16, 32],
+                    help="8 (default) = int8-quantized conv trunk with static "
+                         "calibrated scales (inference-only, ops/quant.py; >99% "
+                         "mask agreement vs float). 16 = bf16 (3145 scenes/s).")
     ap.add_argument("--fast_conv", type=int, default=0, choices=[0, 1],
                     help="blocked space-to-depth encoder convs (ops/fastconv.py)")
     ap.add_argument("--fast_head", type=int, default=0, choices=[0, 1],
@@ -164,6 +168,8 @@ def main(argv=None):
     args = ap.parse_args(argv)
 
     baseline = get_baseline(args.rebaseline)
+    if args.batch is None:
+        args.batch = BATCH_INT8 if args.precision == 8 else BATCH
     sps = measure_tpu(args.batch, args.iters, precision=args.precision,
                       fast_conv=bool(args.fast_conv), fast_head=bool(args.fast_head),
                       fused_trunk=args.fused_trunk)

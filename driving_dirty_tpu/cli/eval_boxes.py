@@ -39,12 +39,17 @@ def main(argv=None):
     ap.add_argument("--limit_batches", type=int, default=None)
     ap.add_argument("--score_thresh", type=float, default=0.5,
                     help="minimum detection score to count a box")
+    ap.add_argument("--precision", type=int, default=None, choices=[8, 16, 32],
+                    help="override checkpoint precision; 8 = int8 c3 trunk "
+                         "(statically calibrated on the first batch)")
     args = ap.parse_args(argv)
 
     blob = ckpt_io.load(args.ckpt_path)
     task_name = blob["meta"].get("task", "faster_rcnn_rm")
     hparams = dict(blob["hparams"] or {})
     hparams.setdefault("pretrained_path", None)
+    if args.precision is not None:
+        hparams["precision"] = args.precision
     task = TASKS[task_name](hparams)
     params = jax.tree.map(jnp.asarray, blob["params"])
     state = jax.tree.map(jnp.asarray, blob["state"])
@@ -60,6 +65,11 @@ def main(argv=None):
         raw_uint8=True,
     )
     loader = Loader(ds, args.batch_size, shuffle=False, num_workers=4)
+
+    if task.int8_trunk:
+        # static scales must bake in before tracing (see quant.py header)
+        first, _ = next(iter(loader))
+        task.calibrate_int8(params, state, first["images"], first.get("road"))
 
     scores, n_scenes = [], 0
     t0 = time.perf_counter()

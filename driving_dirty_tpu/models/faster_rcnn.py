@@ -64,8 +64,9 @@ class BBFasterRCNN(Int8TrunkMixin, LabeledDataMixin, Task):
             params["mapper_cnn"] = self.mapper_cnn.init(k_map)
         return params, {"encoder": bb_s["encoder"]}
 
-    def backbone_features(self, params, state, images, road, *, train: bool, rng):
-        """Six views -> square layout -> (fused) -> frozen encoder c3 features."""
+    def _backbone_input(self, params, images, road):
+        """Six views -> square layout image (+ roadmap fusion) = the conv
+        trunk's input. Shared by the forward path and int8 calibration."""
         from driving_dirty_tpu.ops.stitch import normalize_images
 
         square = layout_images_as_map(
@@ -78,6 +79,23 @@ class BBFasterRCNN(Int8TrunkMixin, LabeledDataMixin, Task):
             x = jax.nn.sigmoid(self.mapper_cnn.apply(params["mapper_cnn"], x))
         else:
             x = square
+        return x
+
+    def calibrate_int8(self, params, state, images, road=None):
+        """One-time static activation-scale calibration for the c3 trunk
+        (--precision 8). Must run EAGERLY before tracing the eval fn — see
+        RoadMapBase.calibrate_int8."""
+        if not self.int8_trunk or self._int8_scales is not None:
+            return
+        x = self._backbone_input(
+            params, jnp.asarray(images),
+            None if road is None else jnp.asarray(road),
+        )
+        self.calibrate_int8_on(params["encoder"], x)
+
+    def backbone_features(self, params, state, images, road, *, train: bool, rng):
+        """Six views -> square layout -> (fused) -> frozen encoder c3 features."""
+        x = self._backbone_input(params, images, road)
         enc_apply = lambda p, s, v: self.ae.encoder.apply(
             p, s, v, train=train, rng=rng, c3_only=True,
             fast=(not train) and hp(self.hparams, "fast_conv", False),

@@ -20,7 +20,10 @@ class MetricsLogger:
         os.makedirs(log_dir, exist_ok=True)
         self._jsonl = open(os.path.join(log_dir, "metrics.jsonl"), "a", buffering=1)
         self._tb = None
-        if use_tensorboard:
+        # DD_NO_TB=1 keeps TensorBoard (and the full TensorFlow runtime that
+        # torch.utils.tensorboard imports when TF is installed) out of the
+        # process; the JSONL stream still records everything.
+        if use_tensorboard and not os.environ.get("DD_NO_TB"):
             try:
                 from torch.utils.tensorboard import SummaryWriter
 

@@ -13,6 +13,7 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--batch", type=int, default=8)
     ap.add_argument("--iters", type=int, default=10)
+    ap.add_argument("--precision", type=int, default=16, choices=[8, 16, 32])
     args = ap.parse_args()
 
     import jax
@@ -28,9 +29,12 @@ def main():
     images = jnp.asarray(rng.randint(0, 256, (B, 6, 256, 306, 3), np.uint8))
     road = jnp.asarray((rng.rand(B, 800, 800) > 0.5).astype(np.float32))
     fr = FasterRCNNRoadMap(dict(pretrained_path=None, ae_hidden_dim=128,
-                                ae_latent_dim=64, precision=16, batch_size=B))
+                                ae_latent_dim=64, precision=args.precision,
+                                batch_size=B))
     params, state = fr.init(jax.random.PRNGKey(0))
     key = jax.random.PRNGKey(0)
+    if args.precision == 8:
+        fr.calibrate_int8(params, state, images, road)  # eager static scales
 
     def bb(p, s, x, r):
         f, _ = fr.backbone_features(p, s, x, r, train=False, rng=key)
