@@ -11,8 +11,9 @@ scenes/sec/chip — the primary benchmark config (BASELINE.json config 1).
     python -m driving_dirty_tpu.cli.run_test --rm_ckpt_path <ckpt> \
         --link <data> [--batch_size 1] [--out masks.npz]
 
-Accepts framework .ckpt checkpoints; PyTorch Lightning rm.ckpt files are
-converted via driving_dirty_tpu.checkpoints.torch_import first.
+Accepts framework .ckpt checkpoints AND original PyTorch Lightning rm.ckpt
+files (auto-detected and imported in-memory via checkpoints.torch_import),
+so the reference's documented invocation works verbatim on its own artifact.
 """
 from __future__ import annotations
 
@@ -31,14 +32,29 @@ from driving_dirty_tpu.models.roadmap import RoadMapBCEv2
 
 
 def load_roadmap_model(ckpt_path, precision=None):
-    blob = ckpt_io.load(ckpt_path)
-    hparams = dict(blob["hparams"] or {})
+    try:
+        blob = ckpt_io.load(ckpt_path)
+        if not blob["params"]:
+            raise ValueError("no params in npz — not a framework checkpoint")
+        raw_params, raw_state = blob["params"], blob.get("state")
+        hparams = dict(blob["hparams"] or {})
+    except Exception:
+        # Original PyTorch Lightning rm.ckpt (/root/reference/README.md:36):
+        # import the torch naming scheme in-memory (checkpoints/torch_import.py)
+        from driving_dirty_tpu.checkpoints.torch_import import import_roadmap
+
+        raw_params, raw_state, th = import_roadmap(ckpt_path)
+        hparams = {k: v for k, v in dict(th).items()
+                   if isinstance(v, (int, float, str, bool))}
+        hparams.setdefault("ae_latent_dim", int(raw_params["fc1"]["w"].shape[0]))
+        hparams.setdefault("ae_hidden_dim",
+                           int(raw_params["encoder"]["fc_z_out"]["w"].shape[0]))
     hparams.setdefault("pretrained_path", None)
     if precision is not None:
         hparams["precision"] = precision
     task = RoadMapBCEv2(hparams)
-    params = jax.tree.map(jnp.asarray, blob["params"])
-    state = jax.tree.map(jnp.asarray, blob["state"]) if blob.get("state") else task.init(jax.random.PRNGKey(0))[1]
+    params = jax.tree.map(jnp.asarray, raw_params)
+    state = jax.tree.map(jnp.asarray, raw_state) if raw_state else task.init(jax.random.PRNGKey(0))[1]
     return task, params, state
 
 

@@ -147,3 +147,40 @@ def test_convert_roadmap_ckpt_roundtrip(tmp_path):
     assert blob["hparams"]["ae_hidden_dim"] == 8
     assert blob["params"]["fc1"]["w"].shape == (6, 640000)
     assert blob["state"]["encoder"]["fc1"]["bn"]["mean"].shape == (8,)
+
+
+def test_run_test_autodetects_torch_ckpt(tmp_path):
+    """cli.run_test accepts the reference's raw Lightning rm.ckpt directly
+    (/root/reference/README.md:33-37): load_roadmap_model falls back to the
+    torch importer when the file is not a framework npz."""
+    torch.manual_seed(2)
+
+    class TRM(torch.nn.Module):
+        def __init__(self):
+            super().__init__()
+            self.ae = TAE(hidden=8, latent=6, h=64, w=96)
+            self.fc1 = torch.nn.Linear(6, 800 * 800)
+
+    rm = TRM().eval()
+    tpath = tmp_path / "rm.ckpt"
+    torch.save(
+        {"state_dict": rm.state_dict(),
+         # scalars are carried into the rebuilt task's hparams; the tiny AE
+         # dims must override the full-size defaults
+         "hparams": {"batch_size": 2, "ae_input_height": 64,
+                      "ae_input_width": 96}},
+        str(tpath),
+    )
+
+    from driving_dirty_tpu.cli.run_test import load_roadmap_model
+
+    task, params, state = load_roadmap_model(str(tpath))
+    assert params["fc1"]["w"].shape == (6, 640000)
+    # one jitted forward at the imported dims: 6 views of 64x16 -> 96 wide
+    images = jnp.asarray(np.random.rand(1, 6, 64, 16, 3).astype(np.float32))
+    logits, prob, _ = jax.jit(
+        lambda p, s, x: task.forward(p, s, x, train=False,
+                                     rng=jax.random.PRNGKey(0))
+    )(params, state, images)
+    assert prob.shape == (1, 800, 800)
+    assert np.isfinite(np.asarray(logits)).all()
