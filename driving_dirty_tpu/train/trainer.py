@@ -35,6 +35,14 @@ from driving_dirty_tpu.parallel import mesh as mesh_lib
 from driving_dirty_tpu.train.logging import MetricsLogger
 
 
+def _on_axon_platform() -> bool:
+    """True on the experimental tunneled 'axon' TPU platform. The plugin
+    registers its backend as plain 'tpu' (jax.default_backend(),
+    device.platform, and the client platform ALL report 'tpu'), so the only
+    reliable discriminator is the JAX_PLATFORMS env the plugin sets."""
+    return "axon" in os.environ.get("JAX_PLATFORMS", "")
+
+
 def _tree_ones_mask(params):
     return jax.tree.map(lambda p: jnp.ones((), p.dtype if jnp.issubdtype(p.dtype, jnp.floating) else jnp.float32), params)
 
@@ -89,7 +97,7 @@ class Trainer:
         self.enable_checkpointing = enable_checkpointing
         self.enable_progress_bar = enable_progress_bar
         self.profile_dir = profile_dir
-        if profile_dir and os.environ.get("JAX_PLATFORMS", "") == "axon":
+        if profile_dir and _on_axon_platform():
             # jax.profiler.start_trace HANGS on the tunneled axon platform
             # (verified: a minimal start/stop trace never returns); disable
             # rather than freeze the fit loop. Real TPU VMs profile normally.
@@ -101,10 +109,14 @@ class Trainer:
         if donate_buffers is None:
             # The experimental tunneled 'axon' platform crashes its worker on
             # donated-buffer reuse in large programs (verified empirically on
-            # the detection train step: step 2 with donation faults, without
-            # donation runs clean). Donation halves peak param memory, so keep
-            # it on for real tpu/cpu backends.
-            donate_buffers = jax.default_backend() not in ("axon",)
+            # the detection train step: the fused+donated program kills the
+            # worker at its first execution; the split non-donated programs
+            # run clean). Donation halves peak param memory, so keep it on
+            # for real tpu/cpu backends. NOTE: the check must be the env var
+            # — jax.default_backend() reports plain 'tpu' on axon, which made
+            # an earlier version of this guard never fire (the r2
+            # cli.faster_rcnn worker-crash investigation).
+            donate_buffers = not _on_axon_platform()
         self.donate_buffers = donate_buffers
         self.checkpoint_every_n_steps = checkpoint_every_n_steps
         self.max_steps = max_steps

@@ -152,3 +152,18 @@ def test_walltime_budget_stops_with_resumable_checkpoint(data_dir, tmp_path):
     blob = ckpt_io.load(result.last_ckpt_path)
     assert blob["meta"].get("mid_epoch") is True
     assert blob["opt_state"] is not None
+
+
+def test_donation_disabled_on_axon_platform(tmp_path, monkeypatch):
+    """The tunneled 'axon' TPU crashes its worker on donated-buffer reuse, but
+    registers its backend as plain 'tpu' — so the Trainer's guard must key on
+    the JAX_PLATFORMS env, not jax.default_backend() (r2 regression: the
+    backend-name check never fired and every CLI train run used the
+    fused+donated program)."""
+    monkeypatch.setenv("JAX_PLATFORMS", "axon")
+    tr = Trainer(max_epochs=1, default_root_dir=str(tmp_path))
+    assert tr.donate_buffers is False
+
+    monkeypatch.setenv("JAX_PLATFORMS", "cpu")
+    tr = Trainer(max_epochs=1, default_root_dir=str(tmp_path))
+    assert tr.donate_buffers is True
