@@ -7,6 +7,8 @@ weights + metadata; a serving host needs only `cli.serve` / `export.load`.
 
     python -m driving_dirty_tpu.cli.export --rm_ckpt_path <ckpt> \
         --out model.ddx [--batch_size 8] [--precision 8 --calib_link <data>]
+    python -m driving_dirty_tpu.cli.export --kind detection \
+        --rm_ckpt_path fr.ckpt --out det.ddx
 """
 from __future__ import annotations
 
@@ -17,6 +19,10 @@ def main(argv=None):
     ap = argparse.ArgumentParser()
     ap.add_argument("--rm_ckpt_path", required=True,
                     help="framework .ckpt or raw Lightning rm.ckpt")
+    ap.add_argument("--kind", default="roadmap",
+                    choices=["roadmap", "detection"],
+                    help="roadmap: views -> 800x800 mask; detection: a "
+                         "faster_rcnn[_rm] ckpt -> fixed-shape detections")
     ap.add_argument("--out", required=True, help=".ddx artifact path")
     ap.add_argument("--batch_size", type=int, default=1)
     ap.add_argument("--precision", type=int, default=None, choices=[8, 16, 32])
@@ -44,12 +50,19 @@ def main(argv=None):
 
     from driving_dirty_tpu import export as ddx
 
-    meta = ddx.export_roadmap(
-        args.rm_ckpt_path, args.out, batch_size=args.batch_size,
-        precision=args.precision,
-        platforms=tuple(p.strip() for p in args.platforms.split(",") if p.strip()),
-        calib_images=calib,
-    )
+    platforms = tuple(p.strip() for p in args.platforms.split(",") if p.strip())
+    if args.kind == "detection":
+        meta = ddx.export_detection(
+            args.rm_ckpt_path, args.out, batch_size=args.batch_size,
+            precision=args.precision, platforms=platforms,
+            calib=None if calib is None else {"images": calib},
+        )
+    else:
+        meta = ddx.export_roadmap(
+            args.rm_ckpt_path, args.out, batch_size=args.batch_size,
+            precision=args.precision, platforms=platforms,
+            calib_images=calib,
+        )
     import os
 
     print(f"exported {args.out}: {os.path.getsize(args.out) / 1e6:.1f} MB "

@@ -4,7 +4,9 @@ Two modes over the same `export.load` handle:
 
   one-shot:  python -m driving_dirty_tpu.cli.serve --artifact model.ddx \
                  --npz scenes.npz --out masks.npz
-             (scenes.npz: `images` [N, 6, 256, 306, 3] uint8/float; the N
+             (scenes.npz holds one array per artifact input — `images`
+              [N, 6, 256, 306, 3] for roadmap artifacts, plus `road`
+              [N, 800, 800] for faster_rcnn_rm detection artifacts; the N
               scenes are chunked to the artifact's batch size, tail padded)
 
   http:      python -m driving_dirty_tpu.cli.serve --artifact model.ddx \
@@ -25,22 +27,30 @@ import time
 import numpy as np
 
 
-def predict_all(served, images):
-    """[N, ...] scenes -> [N, 800, 800] uint8 masks, chunked to the
-    artifact's fixed batch (tail zero-padded, pad rows dropped)."""
-    n = images.shape[0]
+def predict_all(served, *inputs):
+    """Batch-of-N inference through a fixed-batch artifact: each input
+    [N, ...] is chunked to the artifact's batch (tail zero-padded, pad rows
+    dropped). Output: roadmap artifacts -> {'masks': [N, 800, 800] uint8};
+    detection artifacts -> their named output arrays."""
+    import jax
+
+    n = inputs[0].shape[0]
     b = served.batch_size
-    out = []
+    chunks = []
     for i in range(0, n, b):
-        chunk = images[i : i + b]
-        k = chunk.shape[0]
+        part = [x[i : i + b] for x in inputs]
+        k = part[0].shape[0]
         if k < b:
-            chunk = np.concatenate(
-                [chunk, np.zeros((b - k, *chunk.shape[1:]), chunk.dtype)]
-            )
-        masks = np.asarray(served(chunk.astype(np.float32)))
-        out.append(masks[:k])
-    return np.concatenate(out).astype(np.uint8)
+            part = [
+                np.concatenate([x, np.zeros((b - k, *x.shape[1:]), x.dtype)])
+                for x in part
+            ]
+        out = served(*[np.asarray(x, np.float32) for x in part])
+        chunks.append(jax.tree.map(lambda x: np.asarray(x)[:k], out))
+    merged = jax.tree.map(lambda *xs: np.concatenate(xs), *chunks)
+    if not isinstance(merged, dict):
+        merged = {"masks": merged.astype(np.uint8)}
+    return merged
 
 
 def make_server(served, port):
@@ -70,17 +80,17 @@ def make_server(served, port):
             try:
                 n = int(self.headers.get("Content-Length", 0))
                 with np.load(io.BytesIO(self.rfile.read(n))) as npz:
-                    images = npz["images"]
+                    inputs = [npz[s["name"]] for s in served.input_specs]
                 t0 = time.perf_counter()
-                masks = predict_all(served, images)
+                outputs = predict_all(served, *inputs)
                 dt = time.perf_counter() - t0
                 buf = io.BytesIO()
-                np.savez_compressed(buf, masks=masks)
+                np.savez_compressed(buf, **outputs)
                 body = buf.getvalue()
                 self.send_response(200)
                 self.send_header("Content-Type", "application/npz")
                 self.send_header("Content-Length", str(len(body)))
-                self.send_header("X-Scenes-Per-Sec", f"{images.shape[0] / dt:.2f}")
+                self.send_header("X-Scenes-Per-Sec", f"{inputs[0].shape[0] / dt:.2f}")
                 self.end_headers()
                 self.wfile.write(body)
             except Exception as e:  # malformed request must not kill the server
@@ -121,13 +131,13 @@ def main(argv=None):
     if not args.npz or not args.out:
         ap.error("need --npz and --out (or --http PORT)")
     with np.load(args.npz) as npz:
-        images = npz["images"]
+        inputs = [npz[s["name"]] for s in served.input_specs]
     t0 = time.perf_counter()
-    masks = predict_all(served, images)
+    outputs = predict_all(served, *inputs)
     dt = time.perf_counter() - t0
-    np.savez_compressed(args.out, masks=masks)
-    print(f"{images.shape[0]} scenes -> {args.out}  "
-          f"({images.shape[0] / dt:.2f} scenes/s)")
+    np.savez_compressed(args.out, **outputs)
+    print(f"{inputs[0].shape[0]} scenes -> {args.out} "
+          f"[{', '.join(outputs)}]  ({inputs[0].shape[0] / dt:.2f} scenes/s)")
 
 
 if __name__ == "__main__":

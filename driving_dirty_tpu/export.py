@@ -9,22 +9,25 @@ function as a **self-contained artifact**:
 
     .ddx file = zip archive of
       program.bin   serialized `jax.export.Exported` StableHLO program,
-                    signature (flat_params..., images) -> mask; lowered for
-                    an explicit platform list (tpu and/or cpu), versioned
-                    with jax.export's stability guarantees
+                    signature (flat_params..., *inputs) -> outputs; lowered
+                    for an explicit platform list (tpu and/or cpu),
+                    versioned with jax.export's stability guarantees
       params.npz    the parameter pytree, flattened with the same
                     '/'-joined naming as checkpoints/io.py
-      meta.json     batch size, image dims, precision, task name, platforms,
-                    framework version
+      meta.json     input specs, batch size, precision, task name,
+                    platforms, framework version
 
 Export bakes the model STATE (BN statistics, int8 scales) into the program
 as constants — serving is stateless — while PARAMS stay a runtime argument,
 so a re-finetuned checkpoint with identical shapes can be hot-swapped into
 an already-exported artifact via `swap_params`.
 
-`load(path)` -> a `Served` handle that runs the program with zero Python
-model code (jax.export.deserialize + .call). cli/serve.py drives it either
-one-shot over an .npz of scenes or as a minimal HTTP batch server.
+Exporters: `export_roadmap` (6 camera views -> 800x800 road mask, the
+primary benchmark surface) and `export_detection` (views [+ roadmap channel
+for the rm variant] -> fixed-shape detections dict). `load(path)` -> a
+`Served` handle that runs the program with zero Python model code
+(jax.export.deserialize + .call). cli/serve.py drives it either one-shot
+over an .npz of scenes or as a minimal HTTP batch server.
 """
 from __future__ import annotations
 
@@ -34,7 +37,8 @@ import zipfile
 
 import numpy as np
 
-__all__ = ["export_roadmap", "load", "Served", "FORMAT_VERSION"]
+__all__ = ["export_roadmap", "export_detection", "load", "Served",
+           "FORMAT_VERSION"]
 
 FORMAT_VERSION = 1
 
@@ -57,18 +61,59 @@ def _flat_params(params, sort=True):
     return named
 
 
+def _export_artifact(predict, params, input_specs, out_path, platforms, meta):
+    """Shared packaging: trace `predict(params, *inputs)` at the given input
+    specs, serialize, and zip together with the flattened params + meta."""
+    import jax
+    import jax.numpy as jnp
+    from jax import export as jexport
+
+    named = _flat_params(params)
+    names = [n for n, _ in named]
+    leaves = [jnp.asarray(l) for _, l in named]
+    treedef = jax.tree.structure(params)
+    # exported args arrive name-sorted; unflatten wants tree-flatten order
+    order_names = [n for n, _ in _flat_params(params, sort=False)]
+
+    def fn(*args):
+        flat, inputs = args[: len(names)], args[len(names):]
+        by_name = dict(zip(names, flat))
+        p = jax.tree.unflatten(treedef, [by_name[n] for n in order_names])
+        return predict(p, *inputs)
+
+    specs = [jax.ShapeDtypeStruct(l.shape, l.dtype) for l in leaves] + [
+        jax.ShapeDtypeStruct(tuple(s["shape"]), jnp.dtype(s["dtype"]))
+        for s in input_specs
+    ]
+    exported = jexport.export(jax.jit(fn), platforms=list(platforms))(*specs)
+
+    meta = dict(meta)
+    meta.update(
+        format_version=FORMAT_VERSION,
+        platforms=list(platforms),
+        param_names=names,
+        inputs=input_specs,
+    )
+    buf = _io.BytesIO()
+    np.savez(buf, **{n: np.asarray(l) for n, l in zip(names, leaves)})
+    with zipfile.ZipFile(out_path, "w", zipfile.ZIP_DEFLATED) as z:
+        z.writestr("program.bin", bytes(exported.serialize()))
+        z.writestr("params.npz", buf.getvalue())
+        z.writestr("meta.json", json.dumps(meta, indent=1))
+    return meta
+
+
 def export_roadmap(ckpt_path, out_path, *, batch_size=1, precision=None,
                    platforms=("tpu", "cpu"), calib_images=None):
     """Export a roadmap checkpoint (framework .ckpt or raw Lightning rm.ckpt)
-    to a .ddx serving artifact.
+    to a .ddx serving artifact: images [b, 6, 256, 306, 3] -> mask
+    [b, 800, 800].
 
     precision 8 requires `calib_images` (a real [b, 6, 256, 306, 3] sample)
     so the static int8 activation scales bake into the program as constants.
     Returns the meta dict.
     """
-    import jax
     import jax.numpy as jnp
-    from jax import export as jexport
 
     from driving_dirty_tpu.cli.run_test import load_roadmap_model
 
@@ -81,45 +126,68 @@ def export_roadmap(ckpt_path, out_path, *, batch_size=1, precision=None,
             )
         task.calibrate_int8(params, state, jnp.asarray(calib_images))
 
-    named = _flat_params(params)
-    names = [n for n, _ in named]
-    leaves = [jnp.asarray(l) for _, l in named]
-    treedef = jax.tree.structure(params)
-    # exported args arrive name-sorted; unflatten wants tree-flatten order
-    order_names = [n for n, _ in _flat_params(params, sort=False)]
+    return _export_artifact(
+        lambda p, images: task.predict(p, state, images),
+        params,
+        [{"name": "images", "shape": [batch_size, 6, 256, 306, 3],
+          "dtype": "float32"}],
+        out_path, platforms,
+        {"task": task.name, "batch_size": batch_size,
+         "precision": precision or int(getattr(task.hparams, "precision", 32)),
+         "output": "mask_800x800_float01"},
+    )
 
-    def fn(*args):
-        flat, images = args[:-1], args[-1]
-        by_name = dict(zip(names, flat))
-        p = jax.tree.unflatten(treedef, [by_name[n] for n in order_names])
-        return task.predict(p, state, images)
 
-    img_spec = jax.ShapeDtypeStruct((batch_size, 6, 256, 306, 3), jnp.float32)
-    specs = [jax.ShapeDtypeStruct(l.shape, l.dtype) for l in leaves] + [img_spec]
-    exported = jexport.export(jax.jit(fn), platforms=list(platforms))(*specs)
-    program = bytes(exported.serialize())
+def export_detection(ckpt_path, out_path, *, batch_size=1, precision=None,
+                     platforms=("tpu", "cpu"), calib=None):
+    """Export a detection checkpoint (faster_rcnn / faster_rcnn_rm) to a
+    .ddx artifact: images [b, 6, 256, 306, 3] (+ road [b, 800, 800] for the
+    rm variant, fused as the 4th layout channel) -> fixed-shape detections
+    {boxes [b, N, 4] pixel xyxy, scores [b, N], labels [b, N], valid [b, N]}.
+    """
+    import jax
+    import jax.numpy as jnp
 
-    meta = {
-        "format_version": FORMAT_VERSION,
-        "task": task.name,
-        "batch_size": batch_size,
-        "image_shape": [6, 256, 306, 3],
-        "precision": precision or int(getattr(task.hparams, "precision", 32)),
-        "platforms": list(platforms),
-        "param_names": names,
-        "output": "mask_800x800_float01",
-    }
-    buf = _io.BytesIO()
-    np.savez(buf, **{n: np.asarray(l) for n, l in zip(names, leaves)})
-    with zipfile.ZipFile(out_path, "w", zipfile.ZIP_DEFLATED) as z:
-        z.writestr("program.bin", program)
-        z.writestr("params.npz", buf.getvalue())
-        z.writestr("meta.json", json.dumps(meta, indent=1))
-    return meta
+    from driving_dirty_tpu.checkpoints import io as ckpt_io
+    from driving_dirty_tpu.cli.eval_boxes import TASKS
+
+    blob = ckpt_io.load(ckpt_path)
+    task_name = blob["meta"].get("task", "faster_rcnn_rm")
+    hparams = dict(blob["hparams"] or {})
+    hparams.setdefault("pretrained_path", None)
+    if precision is not None:
+        hparams["precision"] = precision
+    task = TASKS[task_name](hparams)
+    params = jax.tree.map(jnp.asarray, blob["params"])
+    state = jax.tree.map(jnp.asarray, blob["state"])
+    if getattr(task, "int8_trunk", False):
+        if calib is None:
+            raise ValueError("--precision 8 export needs a calibration batch")
+        task.calibrate_int8(params, state, jnp.asarray(calib["images"]),
+                            None if calib.get("road") is None
+                            else jnp.asarray(calib["road"]))
+
+    with_road = "mapper_cnn" in params
+    inputs = [{"name": "images", "shape": [batch_size, 6, 256, 306, 3],
+               "dtype": "float32"}]
+    if with_road:
+        inputs.append({"name": "road", "shape": [batch_size, 800, 800],
+                       "dtype": "float32"})
+
+    if with_road:
+        predict = lambda p, images, road: task.predict(p, state, images, road)
+    else:
+        predict = lambda p, images: task.predict(p, state, images)
+    return _export_artifact(
+        predict, params, inputs, out_path, platforms,
+        {"task": task_name, "batch_size": batch_size,
+         "precision": precision or int(hparams.get("precision", 32)),
+         "output": "detections_pixel_xyxy"},
+    )
 
 
 class Served:
-    """A loaded .ddx artifact: `__call__(images)` runs the AOT program.
+    """A loaded .ddx artifact: `__call__(*inputs)` runs the AOT program.
 
     No model code, no tracing: jax.export.deserialize + Exported.call. The
     first call per process still XLA-compiles the (already lowered, already
@@ -132,6 +200,10 @@ class Served:
         self.meta = meta
         self.batch_size = int(meta["batch_size"])
         self._jitted = None
+
+    @property
+    def input_specs(self):
+        return self.meta["inputs"]
 
     def swap_params(self, params_pytree):
         """Replace the serving weights with a same-shaped pytree (e.g. a
@@ -146,18 +218,27 @@ class Served:
         self._params = [np.asarray(l) for _, l in named]
         self._jitted = None
 
-    def __call__(self, images):
+    def __call__(self, *inputs):
         import jax
 
         if self._jitted is None:
             # jit(exported.call) caches the local-device executable across
             # calls (plain .call re-traces per invocation)
             self._jitted = jax.jit(self._exported.call)
-        images = np.asarray(images, np.float32)
-        expect = (self.batch_size, *self.meta["image_shape"])
-        if images.shape != expect:
-            raise ValueError(f"expected images {expect}, got {images.shape}")
-        return self._jitted(*self._params, images)
+        specs = self.meta["inputs"]
+        if len(inputs) != len(specs):
+            raise ValueError(
+                f"expected {len(specs)} inputs "
+                f"({[s['name'] for s in specs]}), got {len(inputs)}")
+        arrays = []
+        for arr, spec in zip(inputs, specs):
+            arr = np.asarray(arr, np.dtype(spec["dtype"]))
+            if arr.shape != tuple(spec["shape"]):
+                raise ValueError(
+                    f"expected {spec['name']} {tuple(spec['shape'])}, "
+                    f"got {arr.shape}")
+            arrays.append(arr)
+        return self._jitted(*self._params, *arrays)
 
 
 def load(path) -> Served:

@@ -47,7 +47,9 @@ def test_artifact_contents(artifact):
         assert {"program.bin", "params.npz", "meta.json"} <= names
         meta = json.loads(z.read("meta.json"))
     assert meta["format_version"] == ddx.FORMAT_VERSION
-    assert meta["image_shape"] == [6, 256, 306, 3]
+    assert meta["inputs"] == [{"name": "images",
+                               "shape": [2, 6, 256, 306, 3],
+                               "dtype": "float32"}]
     assert meta["platforms"] == ["cpu"]
 
 
@@ -141,3 +143,96 @@ def test_serve_http(artifact):
     finally:
         srv.shutdown()
         srv.server_close()
+
+
+@pytest.fixture(scope="module")
+def det_artifact(tmp_path_factory):
+    """A faster_rcnn_rm detection artifact (images + road inputs ->
+    fixed-shape detections dict)."""
+    from driving_dirty_tpu.models.faster_rcnn import FasterRCNNRoadMap
+
+    # exact_topk: the default approx_max_k proposal selection may pick
+    # different near-tied candidates in two separately-compiled programs
+    # (random-init scores tie); exact selection makes artifact-vs-direct
+    # comparison deterministic
+    hp = dict(pretrained_path=None, ae_hidden_dim=8, ae_latent_dim=8,
+              batch_size=2, rpn_pre_nms_top_n=64, rpn_post_nms_top_n=32,
+              box_batch_per_image=32, exact_topk=1)
+    task = FasterRCNNRoadMap(hp)
+    params, state = task.init(jax.random.PRNGKey(0))
+    d = tmp_path_factory.mktemp("det_exp")
+    ckpt = str(d / "fr.ckpt")
+    ckpt_io.save(ckpt, params=params, state=state, hparams=hp,
+                 meta={"task": "faster_rcnn_rm"})
+    out = str(d / "det.ddx")
+    meta = ddx.export_detection(ckpt, out, batch_size=2, platforms=("cpu",))
+    assert [s["name"] for s in meta["inputs"]] == ["images", "road"]
+    return ckpt, out
+
+
+def test_detection_export_matches_direct(det_artifact):
+    from driving_dirty_tpu.models.faster_rcnn import FasterRCNNRoadMap
+
+    ckpt, art = det_artifact
+    served = ddx.load(art)
+    rng = np.random.RandomState(5)
+    images = rng.rand(2, 6, 256, 306, 3).astype(np.float32)
+    road = (rng.rand(2, 800, 800) > 0.5).astype(np.float32)
+
+    out = served(images, road)
+    assert set(out.keys()) >= {"boxes", "scores", "labels", "valid"}
+    assert np.asarray(out["boxes"]).shape[0] == 2
+
+    blob = ckpt_io.load(ckpt)
+    task = FasterRCNNRoadMap(dict(blob["hparams"], pretrained_path=None))
+    direct = task.predict(jax.tree.map(jnp.asarray, blob["params"]),
+                          jax.tree.map(jnp.asarray, blob["state"]),
+                          jnp.asarray(images), jnp.asarray(road))
+    # Two separately-compiled XLA programs are not bitwise-identical: fp
+    # rounding differences at selection boundaries (top-k / NMS ties on
+    # random-init scores) can swap a couple of detections. Require the
+    # detection SETS to agree: same valid counts, sorted scores close, and
+    # >= 95% of box rows identical.
+    np.testing.assert_array_equal(np.asarray(out["valid"]),
+                                  np.asarray(direct["valid"]))
+    np.testing.assert_allclose(
+        np.sort(np.asarray(out["scores"]), axis=-1),
+        np.sort(np.asarray(direct["scores"]), axis=-1), rtol=1e-3, atol=1e-4)
+    rows_equal = np.all(
+        np.abs(np.asarray(out["boxes"]) - np.asarray(direct["boxes"])) < 1e-2,
+        axis=-1)
+    assert rows_equal.mean() >= 0.95, f"only {rows_equal.mean():.1%} rows match"
+
+
+def test_detection_serve_cli_oneshot(det_artifact, tmp_path, capsys):
+    from driving_dirty_tpu.cli import serve
+
+    _, art = det_artifact
+    rng = np.random.RandomState(6)
+    inp, out = str(tmp_path / "in.npz"), str(tmp_path / "det.npz")
+    np.savez(inp, images=rng.rand(3, 6, 256, 306, 3).astype(np.float32),
+             road=(rng.rand(3, 800, 800) > 0.5).astype(np.float32))
+    serve.main(["--artifact", art, "--npz", inp, "--out", out])
+    assert "3 scenes" in capsys.readouterr().out
+    with np.load(out) as z:
+        assert z["boxes"].shape[0] == 3
+        assert z["scores"].shape == z["labels"].shape
+
+
+def test_int8_export_requires_calibration_and_runs(rm_ckpt, tmp_path):
+    """precision-8 export without a calibration batch is refused; with one,
+    the static int8 scales bake into the program and the artifact serves."""
+    out = str(tmp_path / "int8.ddx")
+    with pytest.raises(ValueError, match="calibration"):
+        ddx.export_roadmap(rm_ckpt, out, batch_size=2, precision=8,
+                           platforms=("cpu",))
+
+    rng = np.random.RandomState(8)
+    calib = rng.rand(2, 6, 256, 306, 3).astype(np.float32)
+    meta = ddx.export_roadmap(rm_ckpt, out, batch_size=2, precision=8,
+                              platforms=("cpu",), calib_images=calib)
+    assert meta["precision"] == 8
+    served = ddx.load(out)
+    masks = np.asarray(served(calib))
+    assert masks.shape == (2, 800, 800)
+    assert set(np.unique(masks)) <= {0.0, 1.0}
