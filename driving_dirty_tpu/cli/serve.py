@@ -55,8 +55,13 @@ def predict_all(served, *inputs):
 
 def make_server(served, port):
     """Build (not run) the HTTP server — separated so tests can bind port 0,
-    drive requests, and shut down cleanly."""
-    from http.server import BaseHTTPRequestHandler, HTTPServer
+    drive requests, and shut down cleanly. Threaded so /healthz answers while
+    a long /predict runs; device execution itself is serialized by a lock
+    (one TPU program at a time — queueing requests beats interleaving)."""
+    import threading
+    from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+
+    predict_lock = threading.Lock()
 
     class Handler(BaseHTTPRequestHandler):
         def log_message(self, *a):  # quiet access log
@@ -82,7 +87,8 @@ def make_server(served, port):
                 with np.load(io.BytesIO(self.rfile.read(n))) as npz:
                     inputs = [npz[s["name"]] for s in served.input_specs]
                 t0 = time.perf_counter()
-                outputs = predict_all(served, *inputs)
+                with predict_lock:
+                    outputs = predict_all(served, *inputs)
                 dt = time.perf_counter() - t0
                 buf = io.BytesIO()
                 np.savez_compressed(buf, **outputs)
@@ -96,7 +102,7 @@ def make_server(served, port):
             except Exception as e:  # malformed request must not kill the server
                 self.send_error(400, str(e))
 
-    return HTTPServer(("127.0.0.1", port), Handler)
+    return ThreadingHTTPServer(("127.0.0.1", port), Handler)
 
 
 def _http_serve(served, port):

@@ -82,8 +82,12 @@ def main(argv=None):
     ap.add_argument("--samples", type=int, default=4)
     ap.add_argument("--labeled-scenes", type=int, default=2)
     ap.add_argument("--seed", type=int, default=0)
+    ap.add_argument("--fixed-road", action="store_true",
+                    help="deterministic road blob (learnable target for "
+                         "convergence runs; random per-sample otherwise)")
     a = ap.parse_args(argv)
-    generate(a.out, a.scenes, a.samples, a.labeled_scenes, a.seed)
+    generate(a.out, a.scenes, a.samples, a.labeled_scenes, a.seed,
+             fixed_road=a.fixed_road)
     print(f"synthetic dataset written to {a.out}")
 
 

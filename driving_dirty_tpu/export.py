@@ -40,7 +40,7 @@ import numpy as np
 __all__ = ["export_roadmap", "export_detection", "load", "Served",
            "FORMAT_VERSION"]
 
-FORMAT_VERSION = 1
+FORMAT_VERSION = 2  # v2: named input specs (meta['inputs']) + pytree outputs
 
 
 def _flat_params(params, sort=True):
