@@ -74,6 +74,16 @@ def add_trainer_args(parser: argparse.ArgumentParser) -> argparse.ArgumentParser
                    help="stop with a resumable checkpoint ~5 min before this "
                         "budget (test-tube's minutes_to_checkpoint_before_walltime)")
     g.add_argument("--debug", action="store_true", help="enable jax debug_nans")
+    g.add_argument("--gradient_clip_val", type=float, default=0.0,
+                   help="global-norm gradient clipping (0 = off; Lightning "
+                        "0.7.5 Trainer surface)")
+    g.add_argument("--accumulate_grad_batches", type=int, default=1,
+                   help="optimizer step every N batches (optax.MultiSteps; "
+                        "effective batch = N * batch_size)")
+    g.add_argument("--distributed_backend", type=str, default=None,
+                   help="accepted for reference-script compatibility and "
+                        "ignored: XLA emits the collectives a mesh needs — "
+                        "there is no NCCL/DDP backend to choose")
     g.add_argument("--num_workers", type=int, default=None,
                    help="decode pool threads (default: min(48, 4*cpus); the "
                         "reference hardcoded 4)")
@@ -109,6 +119,8 @@ def trainer_from_args(args) -> Trainer:
         checkpoint_every_n_steps=getattr(args, "checkpoint_every_n_steps", None),
         max_steps=getattr(args, "max_steps", None),
         walltime_minutes=getattr(args, "walltime_minutes", None),
+        gradient_clip_val=getattr(args, "gradient_clip_val", 0.0),
+        accumulate_grad_batches=getattr(args, "accumulate_grad_batches", 1),
     )
 
 

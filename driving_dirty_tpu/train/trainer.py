@@ -35,6 +35,17 @@ from driving_dirty_tpu.parallel import mesh as mesh_lib
 from driving_dirty_tpu.train.logging import MetricsLogger
 
 
+def _opt_hyperparams(opt_state):
+    """The inject_hyperparams dict (live LR), reaching through an
+    optax.MultiSteps wrapper when gradient accumulation is on."""
+    if hasattr(opt_state, "hyperparams"):
+        return opt_state.hyperparams
+    inner = getattr(opt_state, "inner_opt_state", None)
+    if inner is not None and hasattr(inner, "hyperparams"):
+        return inner.hyperparams
+    return None
+
+
 def _on_axon_platform() -> bool:
     """True on the experimental tunneled 'axon' TPU platform. The plugin
     registers its backend as plain 'tpu' (jax.default_backend(),
@@ -84,7 +95,11 @@ class Trainer:
         max_steps: int | None = None,
         walltime_minutes: float | None = None,
         checkpoint_before_walltime_minutes: float = 5.0,
+        gradient_clip_val: float = 0.0,
+        accumulate_grad_batches: int = 1,
     ):
+        self.gradient_clip_val = gradient_clip_val
+        self.accumulate_grad_batches = max(1, int(accumulate_grad_batches))
         self.max_epochs = max_epochs
         self.root = default_root_dir
         if mesh is None and (num_devices is not None or model_parallel > 1):
@@ -155,7 +170,25 @@ class Trainer:
 
     # ------------------------------------------------------------------
     def _build_optimizer(self, task):
-        base = optax.inject_hyperparams(optax.adam)(learning_rate=task.learning_rate())
+        """Adam with a live (injected) LR; optional global-norm clipping and
+        optax.MultiSteps gradient accumulation (Lightning's
+        --gradient_clip_val / --accumulate_grad_batches surface). Clipping
+        lives INSIDE inject_hyperparams so `opt_state.hyperparams` stays the
+        top-level handle the plateau scheduler and resume path poke."""
+        clip = self.gradient_clip_val
+        if clip and clip > 0:
+            def adam_clipped(learning_rate):
+                return optax.chain(optax.clip_by_global_norm(clip),
+                                   optax.adam(learning_rate))
+
+            base = optax.inject_hyperparams(adam_clipped)(
+                learning_rate=task.learning_rate())
+        else:
+            base = optax.inject_hyperparams(optax.adam)(learning_rate=task.learning_rate())
+        if self.accumulate_grad_batches > 1:
+            # params change every k micro-batches; global_step keeps counting
+            # micro-batches (effective batch = k * batch_size)
+            base = optax.MultiSteps(base, every_k_schedule=self.accumulate_grad_batches)
         return base
 
     def _make_train_step(self, task, tx):
@@ -312,8 +345,9 @@ class Trainer:
                 best_val = float(ts.get("best_val", best_val))
                 plateau_wait = int(ts.get("plateau_wait", 0))
                 lr = float(ts.get("lr", lr))
-                if hasattr(opt_state, "hyperparams"):
-                    opt_state.hyperparams["learning_rate"] = jnp.asarray(lr)
+                hp_dict = _opt_hyperparams(opt_state)
+                if hp_dict is not None:
+                    hp_dict["learning_rate"] = jnp.asarray(lr)
             extra = resume_blob.get("extra") or {}
             if extra.get("rng") is not None:
                 rng = jnp.asarray(np.asarray(extra["rng"]), dtype=jnp.uint32)
@@ -463,7 +497,9 @@ class Trainer:
                     plateau_wait += 1
                     if plateau_wait > plateau.get("plateau_patience", 10):
                         lr *= plateau.get("factor", 0.1)
-                        opt_state.hyperparams["learning_rate"] = jnp.asarray(lr)
+                        hp_dict = _opt_hyperparams(opt_state)
+                        if hp_dict is not None:
+                            hp_dict["learning_rate"] = jnp.asarray(lr)
                         plateau_wait = 0
                         logger.log_scalars({"learning_rate": lr}, self.global_step)
 

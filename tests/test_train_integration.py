@@ -167,3 +167,27 @@ def test_donation_disabled_on_axon_platform(tmp_path, monkeypatch):
     monkeypatch.setenv("JAX_PLATFORMS", "cpu")
     tr = Trainer(max_epochs=1, default_root_dir=str(tmp_path))
     assert tr.donate_buffers is True
+
+
+def test_fit_with_accumulation_and_clipping(data_dir, tmp_path):
+    """Whole-trainer path with the Lightning-surface optimizer features:
+    --accumulate_grad_batches 2 + --gradient_clip_val: params must change
+    (the accumulated step fires) and training must stay finite."""
+    task = BasicAE(dict(
+        link=data_dir, hidden_dim=8, latent_dim=8, batch_size=2,
+        samples_per_scene=4, num_unlabeled_scenes=3, output_img_freq=0,
+    ))
+    before = None
+
+    trainer = Trainer(
+        max_epochs=1, default_root_dir=str(tmp_path / "acc"),
+        limit_train_batches=4, limit_val_batches=1,
+        enable_progress_bar=False, gradient_clip_val=0.5,
+        accumulate_grad_batches=2,
+    )
+    params, _ = task.init(jax.random.PRNGKey(0))
+    before = jax.tree.leaves(params)[0].copy()
+    result = trainer.fit(task)
+    after = jax.tree.leaves(result.params)[0]
+    assert np.isfinite(result.best_val_loss)
+    assert np.any(np.asarray(before) != np.asarray(after))
