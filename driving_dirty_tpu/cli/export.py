@@ -46,7 +46,9 @@ def main(argv=None):
         )
         first, _ = next(iter(Loader(ds, args.batch_size, shuffle=False,
                                     num_workers=1)))
-        calib = first["images"]
+        # keep the road channel too: the faster_rcnn_rm trunk input fuses it,
+        # so its int8 calibration needs the same (images, road) pair
+        calib = {"images": first["images"], "road": first.get("road")}
 
     from driving_dirty_tpu import export as ddx
 
@@ -54,14 +56,13 @@ def main(argv=None):
     if args.kind == "detection":
         meta = ddx.export_detection(
             args.rm_ckpt_path, args.out, batch_size=args.batch_size,
-            precision=args.precision, platforms=platforms,
-            calib=None if calib is None else {"images": calib},
+            precision=args.precision, platforms=platforms, calib=calib,
         )
     else:
         meta = ddx.export_roadmap(
             args.rm_ckpt_path, args.out, batch_size=args.batch_size,
             precision=args.precision, platforms=platforms,
-            calib_images=calib,
+            calib_images=None if calib is None else calib["images"],
         )
     import os
 
