@@ -124,8 +124,24 @@ def trainer_from_args(args) -> Trainer:
     )
 
 
+def honor_platform_env():
+    """Re-assert an explicit JAX_PLATFORMS=cpu in-process.
+
+    The ambient tunneled-TPU site plugin re-exports JAX_PLATFORMS at import
+    time, silently overriding a caller's explicit cpu request (e.g. submit
+    fan-out trial children pinned to disjoint virtual CPU pools, or hermetic
+    test subprocesses). Runs before first device use, so the config update
+    still takes effect."""
+    if os.environ.get("JAX_PLATFORMS") == "cpu":
+        try:
+            jax.config.update("jax_platforms", "cpu")
+        except Exception:
+            pass
+
+
 def run_task(task_cls, argv=None, description=None):
     """Per-model __main__: parser = trainer args + model args -> fit."""
+    honor_platform_env()
     parser = argparse.ArgumentParser(description=description or task_cls.__name__)
     parser = add_trainer_args(parser)
     parser = task_cls.add_model_specific_args(parser)

@@ -227,8 +227,10 @@ def run_trials_concurrent(args, trials, base_argv):
 
 
 def main(argv=None):
-    from driving_dirty_tpu.cli.common import add_trainer_args, trainer_from_args
+    from driving_dirty_tpu.cli.common import (add_trainer_args, honor_platform_env,
+                                              trainer_from_args)
 
+    honor_platform_env()
     registry = _registry()
     pre = argparse.ArgumentParser(add_help=False)
     pre.add_argument("--model", type=str, default="faster_rcnn_rm")

@@ -475,6 +475,13 @@ class Trainer:
             if n_scenes and dt > 0:
                 scenes_per_sec = n_scenes / dt
                 logger.log_scalars({"scenes_per_sec": scenes_per_sec, "epoch": epoch}, self.global_step)
+            elif n_batches == 0:
+                # loud, not silent: an empty epoch means the split/batch
+                # config starved the loader (e.g. scene count too small for
+                # the 80/20 split, or batch > divisible size under a mesh)
+                print(f"[{task.name}] WARNING: train loader yielded 0 batches "
+                      f"in epoch {epoch} (check scene counts vs the 80/20 "
+                      f"scene split and batch divisibility)", flush=True)
             if self.enable_progress_bar:
                 print(f"[{task.name}] epoch {epoch}: {n_batches} batches, {scenes_per_sec:.2f} scenes/s")
 

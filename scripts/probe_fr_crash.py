@@ -2,6 +2,14 @@
 (seen via cli.faster_rcnn at batch 2 on 2026-08-17). One jitted
 loss+grad+adam step on random data, no Trainer, no data pipeline.
 
+RESOLVED: every probe config passed because this script always built the
+split (non-donated) programs, while the CLI ran the fused+donated train
+step — the Trainer's axon guard keyed on jax.default_backend(), which
+reports plain 'tpu' on the tunneled platform, so donation stayed on and
+crashed the worker. Fixed in train/trainer.py (_on_axon_platform checks
+JAX_PLATFORMS); kept as the harness for isolating trainer-vs-probe program
+deltas (see also the HLO diff method: jit(...).lower().as_text() compare).
+
     python scripts/probe_fr_crash.py [--batch 2] [--no_grad] [--loss_only]
 """
 import argparse
