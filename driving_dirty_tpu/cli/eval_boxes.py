@@ -29,6 +29,22 @@ from driving_dirty_tpu.ops.coords import aabb_to_corners
 TASKS = {"faster_rcnn": BBFasterRCNN, "faster_rcnn_rm": FasterRCNNRoadMap}
 
 
+def load_detection_task(ckpt_path, precision=None):
+    """Checkpoint -> (task, params, state) for the detection families.
+    Shared by this CLI and the .ddx exporter (driving_dirty_tpu/export.py)."""
+    blob = ckpt_io.load(ckpt_path)
+    task_name = blob["meta"].get("task", "faster_rcnn_rm")
+    hparams = dict(blob["hparams"] or {})
+    hparams.setdefault("pretrained_path", None)
+    if precision is not None:
+        hparams["precision"] = precision
+    task = TASKS[task_name](hparams)
+    params = jax.tree.map(jnp.asarray, blob["params"])
+    state = (jax.tree.map(jnp.asarray, blob["state"]) if blob.get("state")
+             else task.init(jax.random.PRNGKey(0))[1])
+    return task, params, state
+
+
 def main(argv=None):
     ap = argparse.ArgumentParser()
     ap.add_argument("--ckpt_path", required=True)
@@ -44,15 +60,11 @@ def main(argv=None):
                          "(statically calibrated on the first batch)")
     args = ap.parse_args(argv)
 
-    blob = ckpt_io.load(args.ckpt_path)
-    task_name = blob["meta"].get("task", "faster_rcnn_rm")
-    hparams = dict(blob["hparams"] or {})
-    hparams.setdefault("pretrained_path", None)
-    if args.precision is not None:
-        hparams["precision"] = args.precision
-    task = TASKS[task_name](hparams)
-    params = jax.tree.map(jnp.asarray, blob["params"])
-    state = jax.tree.map(jnp.asarray, blob["state"])
+    from driving_dirty_tpu.cli.common import honor_platform_env
+
+    honor_platform_env()
+
+    task, params, state = load_detection_task(args.ckpt_path, args.precision)
 
     predict = jax.jit(
         lambda p, s, im, rd: task.predict(p, s, im, rd if task.uses_roadmap else None)

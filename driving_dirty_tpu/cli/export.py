@@ -32,6 +32,10 @@ def main(argv=None):
                     help="dataset root for int8 calibration (--precision 8)")
     args = ap.parse_args(argv)
 
+    from driving_dirty_tpu.cli.common import honor_platform_env
+
+    honor_platform_env()
+
     calib = None
     if args.precision == 8:
         if args.calib_link is None:

@@ -72,6 +72,10 @@ def main(argv=None):
                          "(ops/quant.py, ~+11%% throughput, >99%% mask agreement)")
     args = ap.parse_args(argv)
 
+    from driving_dirty_tpu.cli.common import honor_platform_env
+
+    honor_platform_env()
+
     task, params, state = load_roadmap_model(args.rm_ckpt_path, args.precision)
     predict = jax.jit(lambda p, s, x: task.predict(p, s, x))
 

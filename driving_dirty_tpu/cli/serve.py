@@ -35,6 +35,8 @@ def predict_all(served, *inputs):
     import jax
 
     n = inputs[0].shape[0]
+    if n == 0:
+        raise ValueError("no scenes: first input has length 0")
     b = served.batch_size
     chunks = []
     for i in range(0, n, b):
@@ -45,7 +47,8 @@ def predict_all(served, *inputs):
                 np.concatenate([x, np.zeros((b - k, *x.shape[1:]), x.dtype)])
                 for x in part
             ]
-        out = served(*[np.asarray(x, np.float32) for x in part])
+        # keep original dtypes: Served normalizes raw-uint8 images itself
+        out = served(*part)
         chunks.append(jax.tree.map(lambda x: np.asarray(x)[:k], out))
     merged = jax.tree.map(lambda *xs: np.concatenate(xs), *chunks)
     if not isinstance(merged, dict):
@@ -123,13 +126,20 @@ def main(argv=None):
                          "(same architecture; no re-export)")
     args = ap.parse_args(argv)
 
+    from driving_dirty_tpu.cli.common import honor_platform_env
+
+    honor_platform_env()
+
     from driving_dirty_tpu import export as ddx
 
     served = ddx.load(args.artifact)
     if args.swap_params:
         from driving_dirty_tpu.checkpoints import io as ckpt_io
 
-        served.swap_params(ckpt_io.load(args.swap_params)["params"])
+        blob = ckpt_io.load(args.swap_params)
+        # state rides along so a fine-tune whose BN stats drifted past the
+        # baked ones is refused (export.Served.swap_params)
+        served.swap_params(blob["params"], state=blob.get("state"))
 
     if args.http is not None:
         _http_serve(served, args.http)

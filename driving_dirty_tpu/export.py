@@ -61,6 +61,20 @@ def _flat_params(params, sort=True):
     return named
 
 
+def _state_digest(state) -> str:
+    """Order-stable digest of a model-state pytree (BN statistics, ...).
+    Stored in the artifact meta so weight hot-swaps can detect that the
+    incoming checkpoint was fine-tuned past the BAKED state (export folds
+    state into the program as constants)."""
+    import hashlib
+
+    h = hashlib.sha1()
+    for name, leaf in _flat_params(state):
+        h.update(name.encode())
+        h.update(np.ascontiguousarray(np.asarray(leaf)).tobytes())
+    return h.hexdigest()
+
+
 def _export_artifact(predict, params, input_specs, out_path, platforms, meta):
     """Shared packaging: trace `predict(params, *inputs)` at the given input
     specs, serialize, and zip together with the flattened params + meta."""
@@ -134,7 +148,8 @@ def export_roadmap(ckpt_path, out_path, *, batch_size=1, precision=None,
         out_path, platforms,
         {"task": task.name, "batch_size": batch_size,
          "precision": precision or int(getattr(task.hparams, "precision", 32)),
-         "output": "mask_800x800_float01"},
+         "output": "mask_800x800_float01",
+         "state_digest": _state_digest(state)},
     )
 
 
@@ -145,21 +160,13 @@ def export_detection(ckpt_path, out_path, *, batch_size=1, precision=None,
     rm variant, fused as the 4th layout channel) -> fixed-shape detections
     {boxes [b, N, 4] pixel xyxy, scores [b, N], labels [b, N], valid [b, N]}.
     """
-    import jax
     import jax.numpy as jnp
 
-    from driving_dirty_tpu.checkpoints import io as ckpt_io
-    from driving_dirty_tpu.cli.eval_boxes import TASKS
+    from driving_dirty_tpu.cli.eval_boxes import load_detection_task
 
-    blob = ckpt_io.load(ckpt_path)
-    task_name = blob["meta"].get("task", "faster_rcnn_rm")
-    hparams = dict(blob["hparams"] or {})
-    hparams.setdefault("pretrained_path", None)
-    if precision is not None:
-        hparams["precision"] = precision
-    task = TASKS[task_name](hparams)
-    params = jax.tree.map(jnp.asarray, blob["params"])
-    state = jax.tree.map(jnp.asarray, blob["state"])
+    task, params, state = load_detection_task(ckpt_path, precision)
+    task_name = task.name
+    hparams = dict(getattr(task.hparams, "__dict__", None) or task.hparams or {})
     if getattr(task, "int8_trunk", False):
         if calib is None:
             raise ValueError("--precision 8 export needs a calibration batch")
@@ -167,7 +174,7 @@ def export_detection(ckpt_path, out_path, *, batch_size=1, precision=None,
                             None if calib.get("road") is None
                             else jnp.asarray(calib["road"]))
 
-    with_road = "mapper_cnn" in params
+    with_road = task.uses_roadmap
     inputs = [{"name": "images", "shape": [batch_size, 6, 256, 306, 3],
                "dtype": "float32"}]
     if with_road:
@@ -181,8 +188,9 @@ def export_detection(ckpt_path, out_path, *, batch_size=1, precision=None,
     return _export_artifact(
         predict, params, inputs, out_path, platforms,
         {"task": task_name, "batch_size": batch_size,
-         "precision": precision or int(hparams.get("precision", 32)),
-         "output": "detections_pixel_xyxy"},
+         "precision": precision or int(hparams.get("precision", 32) or 32),
+         "output": "detections_pixel_xyxy",
+         "state_digest": _state_digest(state)},
     )
 
 
@@ -195,8 +203,13 @@ class Served:
     """
 
     def __init__(self, exported, param_arrays, meta):
+        import jax.numpy as jnp
+
         self._exported = exported
-        self._params = param_arrays
+        # device-resident once: numpy args would re-upload the whole weight
+        # set host->HBM on EVERY call (48+ MB per request on the roadmap
+        # artifact)
+        self._params = [jnp.asarray(a) for a in param_arrays]
         self.meta = meta
         self.batch_size = int(meta["batch_size"])
         self._jitted = None
@@ -205,9 +218,27 @@ class Served:
     def input_specs(self):
         return self.meta["inputs"]
 
-    def swap_params(self, params_pytree):
+    def swap_params(self, params_pytree, state=None, force=False):
         """Replace the serving weights with a same-shaped pytree (e.g. a
-        newer finetune of the same architecture) without re-exporting."""
+        newer finetune of the same architecture) without re-exporting.
+
+        The exported program BAKES the model state (BN statistics, int8
+        scales) as constants — weights can swap, state cannot. Pass the new
+        checkpoint's `state` so a drifted state is detected: if its digest
+        differs from the one baked at export, the swap is refused (the model
+        would run new weights against stale statistics) unless force=True.
+        """
+        import jax.numpy as jnp
+
+        if state is not None and not force:
+            baked = self.meta.get("state_digest")
+            if baked is not None and _state_digest(state) != baked:
+                raise ValueError(
+                    "checkpoint state differs from the state baked into this "
+                    "artifact (BN statistics / int8 scales drifted during "
+                    "fine-tuning) — re-export instead of hot-swapping, or "
+                    "pass force=True to accept the skew"
+                )
         named = _flat_params(params_pytree)
         if [n for n, _ in named] != list(self.meta["param_names"]):
             raise ValueError("param tree does not match the exported program")
@@ -215,7 +246,7 @@ class Served:
         for n, leaf in named:
             if tuple(np.shape(leaf)) != tuple(old[n].shape):
                 raise ValueError(f"shape mismatch for {n}")
-        self._params = [np.asarray(l) for _, l in named]
+        self._params = [jnp.asarray(np.asarray(l)) for _, l in named]
         self._jitted = None
 
     def __call__(self, *inputs):
@@ -232,7 +263,14 @@ class Served:
                 f"({[s['name'] for s in specs]}), got {len(inputs)}")
         arrays = []
         for arr, spec in zip(inputs, specs):
-            arr = np.asarray(arr, np.dtype(spec["dtype"]))
+            raw = np.asarray(arr)
+            arr = raw.astype(np.dtype(spec["dtype"]), copy=False)
+            if spec["name"] == "images" and raw.dtype == np.uint8:
+                # raw camera bytes: the program is traced at float32, where
+                # normalize_images applies NO /255 (that rescale is keyed on
+                # integer dtypes) — a silent cast would run the model on
+                # 0..255 inputs at 255x scale
+                arr = arr / np.float32(255.0)
             if arr.shape != tuple(spec["shape"]):
                 raise ValueError(
                     f"expected {spec['name']} {tuple(spec['shape'])}, "

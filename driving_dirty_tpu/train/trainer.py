@@ -475,10 +475,12 @@ class Trainer:
             if n_scenes and dt > 0:
                 scenes_per_sec = n_scenes / dt
                 logger.log_scalars({"scenes_per_sec": scenes_per_sec, "epoch": epoch}, self.global_step)
-            elif n_batches == 0:
+            elif n_batches == 0 and batch_offset == 0:
                 # loud, not silent: an empty epoch means the split/batch
                 # config starved the loader (e.g. scene count too small for
-                # the 80/20 split, or batch > divisible size under a mesh)
+                # the 80/20 split, or batch > divisible size under a mesh).
+                # batch_offset > 0 = a mid-epoch resume that already consumed
+                # the limit — healthy, not starved.
                 print(f"[{task.name}] WARNING: train loader yielded 0 batches "
                       f"in epoch {epoch} (check scene counts vs the 80/20 "
                       f"scene split and batch divisibility)", flush=True)

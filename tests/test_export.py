@@ -236,3 +236,37 @@ def test_int8_export_requires_calibration_and_runs(rm_ckpt, tmp_path):
     masks = np.asarray(served(calib))
     assert masks.shape == (2, 800, 800)
     assert set(np.unique(masks)) <= {0.0, 1.0}
+
+
+def test_served_normalizes_raw_uint8_images(rm_ckpt, artifact):
+    """Raw uint8 camera bytes through serving == the float/255 path (the
+    program is traced at float32, so a silent cast would run at 255x)."""
+    served = ddx.load(artifact)
+    raw = (np.random.RandomState(9).rand(2, 6, 256, 306, 3) * 255).astype(np.uint8)
+    out_u8 = np.asarray(served(raw))
+    out_f = np.asarray(served(raw.astype(np.float32) / 255.0))
+    np.testing.assert_array_equal(out_u8, out_f)
+
+
+def test_swap_params_refuses_drifted_state(rm_ckpt, artifact):
+    """A fine-tuned checkpoint whose BN state drifted past the baked one is
+    refused (state is a program constant); force=True overrides."""
+    served = ddx.load(artifact)
+    task = RoadMapBCEv2(dict(HPARAMS))
+    params2, state2 = task.init(jax.random.PRNGKey(11))
+    # same-digest path: the original ckpt's own state passes
+    blob = ckpt_io.load(rm_ckpt)
+    served.swap_params(blob["params"], state=blob["state"])
+
+    drifted = jax.tree.map(lambda x: x + 1.0, blob["state"])
+    with pytest.raises(ValueError, match="re-export"):
+        served.swap_params(params2, state=drifted)
+    served.swap_params(params2, state=drifted, force=True)  # explicit accept
+
+
+def test_predict_all_rejects_empty_batch(artifact):
+    from driving_dirty_tpu.cli import serve
+
+    served = ddx.load(artifact)
+    with pytest.raises(ValueError, match="no scenes"):
+        serve.predict_all(served, np.zeros((0, 6, 256, 306, 3), np.float32))
