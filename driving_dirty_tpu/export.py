@@ -82,12 +82,14 @@ def _export_artifact(predict, params, input_specs, out_path, platforms, meta):
     import jax.numpy as jnp
     from jax import export as jexport
 
-    named = _flat_params(params)
+    # one flatten: tree order for unflattening, name-sorted for the program's
+    # argument order
+    unsorted_named = _flat_params(params, sort=False)
+    order_names = [n for n, _ in unsorted_named]
+    named = sorted(unsorted_named, key=lambda kv: kv[0])
     names = [n for n, _ in named]
     leaves = [jnp.asarray(l) for _, l in named]
     treedef = jax.tree.structure(params)
-    # exported args arrive name-sorted; unflatten wants tree-flatten order
-    order_names = [n for n, _ in _flat_params(params, sort=False)]
 
     def fn(*args):
         flat, inputs = args[: len(names)], args[len(names):]
@@ -144,7 +146,7 @@ def export_roadmap(ckpt_path, out_path, *, batch_size=1, precision=None,
         lambda p, images: task.predict(p, state, images),
         params,
         [{"name": "images", "shape": [batch_size, 6, 256, 306, 3],
-          "dtype": "float32"}],
+          "dtype": "float32", "uint8_scale": True}],
         out_path, platforms,
         {"task": task.name, "batch_size": batch_size,
          "precision": precision or int(getattr(task.hparams, "precision", 32)),
@@ -165,8 +167,6 @@ def export_detection(ckpt_path, out_path, *, batch_size=1, precision=None,
     from driving_dirty_tpu.cli.eval_boxes import load_detection_task
 
     task, params, state = load_detection_task(ckpt_path, precision)
-    task_name = task.name
-    hparams = dict(getattr(task.hparams, "__dict__", None) or task.hparams or {})
     if getattr(task, "int8_trunk", False):
         if calib is None:
             raise ValueError("--precision 8 export needs a calibration batch")
@@ -174,21 +174,20 @@ def export_detection(ckpt_path, out_path, *, batch_size=1, precision=None,
                             None if calib.get("road") is None
                             else jnp.asarray(calib["road"]))
 
-    with_road = task.uses_roadmap
+    from driving_dirty_tpu.models.pretrained import hp
+
     inputs = [{"name": "images", "shape": [batch_size, 6, 256, 306, 3],
-               "dtype": "float32"}]
-    if with_road:
+               "dtype": "float32", "uint8_scale": True}]
+    if task.uses_roadmap:
         inputs.append({"name": "road", "shape": [batch_size, 800, 800],
                        "dtype": "float32"})
-
-    if with_road:
         predict = lambda p, images, road: task.predict(p, state, images, road)
     else:
         predict = lambda p, images: task.predict(p, state, images)
     return _export_artifact(
         predict, params, inputs, out_path, platforms,
-        {"task": task_name, "batch_size": batch_size,
-         "precision": precision or int(hparams.get("precision", 32) or 32),
+        {"task": task.name, "batch_size": batch_size,
+         "precision": precision or int(hp(task.hparams, "precision", 32) or 32),
          "output": "detections_pixel_xyxy",
          "state_digest": _state_digest(state)},
     )
@@ -264,13 +263,14 @@ class Served:
         arrays = []
         for arr, spec in zip(inputs, specs):
             raw = np.asarray(arr)
-            arr = raw.astype(np.dtype(spec["dtype"]), copy=False)
-            if spec["name"] == "images" and raw.dtype == np.uint8:
-                # raw camera bytes: the program is traced at float32, where
-                # normalize_images applies NO /255 (that rescale is keyed on
-                # integer dtypes) — a silent cast would run the model on
-                # 0..255 inputs at 255x scale
-                arr = arr / np.float32(255.0)
+            if spec.get("uint8_scale") and raw.dtype == np.uint8:
+                # raw camera bytes (exporter declared this input takes them):
+                # the program is traced at float32, where normalize_images
+                # applies NO /255 (that rescale is keyed on integer dtypes) —
+                # a silent cast would run the model on 0..255 inputs at 255x
+                arr = raw / np.float32(255.0)
+            else:
+                arr = raw.astype(np.dtype(spec["dtype"]), copy=False)
             if arr.shape != tuple(spec["shape"]):
                 raise ValueError(
                     f"expected {spec['name']} {tuple(spec['shape'])}, "

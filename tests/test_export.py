@@ -49,7 +49,7 @@ def test_artifact_contents(artifact):
     assert meta["format_version"] == ddx.FORMAT_VERSION
     assert meta["inputs"] == [{"name": "images",
                                "shape": [2, 6, 256, 306, 3],
-                               "dtype": "float32"}]
+                               "dtype": "float32", "uint8_scale": True}]
     assert meta["platforms"] == ["cpu"]
 
 
