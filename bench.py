@@ -167,6 +167,31 @@ def main(argv=None):
                     help="fused Pallas conv-trunk kernel (pallas/trunk.py); measured slower, default off")
     args = ap.parse_args(argv)
 
+    # fail fast if the device/tunnel is wedged: a trivial op that does not
+    # answer within 120 s means the heavy run would hang the caller for its
+    # whole timeout budget (observed multi-hour tunnel outages) — exit loudly
+    # instead so the failure is diagnosable and retryable
+    import threading
+
+    probe_ok = threading.Event()
+
+    def _probe():
+        import jax
+        import jax.numpy as jnp
+
+        float(jnp.ones((8, 8)).sum())
+        probe_ok.set()
+
+    t = threading.Thread(target=_probe, daemon=True)
+    t.start()
+    t.join(120)
+    if not probe_ok.is_set():
+        sys.stderr.write(
+            "bench.py: device liveness probe did not complete within 120 s "
+            "(TPU tunnel down or wedged); aborting instead of hanging\n"
+        )
+        sys.exit(2)
+
     baseline = get_baseline(args.rebaseline)
     if args.batch is None:
         args.batch = BATCH_INT8 if args.precision == 8 else BATCH
