@@ -149,3 +149,28 @@ def test_loader_set_epoch_orders(data_dir):
     np.testing.assert_array_equal(
         np.concatenate(order1[2:]), np.concatenate(order3)
     )
+
+
+def test_preempt_resume_exact_under_accumulation(data_dir, tmp_path):
+    """Exact resume must also hold with optax.MultiSteps gradient
+    accumulation (r2 optimizer surface): the wrapper's mini-step counter and
+    accumulated grads live inside opt_state and must round-trip, or the
+    resumed run fires its optimizer step at the wrong micro-batch."""
+    acc = dict(accumulate_grad_batches=2)
+
+    task_a = BasicAE(dict(link=data_dir, **TINY))
+    _mk_trainer(str(tmp_path / "a"), **acc).fit(task_a)
+    losses_a = _read_losses(str(tmp_path / "a"), "basic_ae")
+    assert set(losses_a) == {0, 1, 2, 3, 4, 5}
+
+    # preempt at step 3: mid-accumulation-window (step 2 began a new 2-batch
+    # window; step 3 is its second half) AND mid-epoch
+    task_b = BasicAE(dict(link=data_dir, **TINY))
+    rb = _mk_trainer(str(tmp_path / "b"), max_steps=3, **acc).fit(task_b)
+
+    task_b2 = BasicAE(dict(link=data_dir, **TINY))
+    _mk_trainer(str(tmp_path / "b2"), **acc).fit(task_b2, resume_from=rb.last_ckpt_path)
+    losses_b2 = _read_losses(str(tmp_path / "b2"), "basic_ae")
+    assert set(losses_b2) == {3, 4, 5}
+    for step in (3, 4, 5):
+        np.testing.assert_allclose(losses_b2[step], losses_a[step], rtol=1e-6)
