@@ -46,6 +46,10 @@ def _losses(root, task_name):
 
 
 def _store_artifact(root, task_name):
+    # Opt-in: ordinary suite runs must not churn the committed evidence files
+    # (set DD_STORE_GATE_ARTIFACTS=1 to refresh them deliberately).
+    if os.environ.get("DD_STORE_GATE_ARTIFACTS") != "1":
+        return
     os.makedirs(ARTIFACTS, exist_ok=True)
     src = os.path.join(root, task_name, "tb", "metrics.jsonl")
     shutil.copy(src, os.path.join(ARTIFACTS, f"{task_name}.jsonl"))
