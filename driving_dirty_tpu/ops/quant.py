@@ -86,13 +86,72 @@ def calibrate_trunk(params, x):
     return tuple(scales)
 
 
+def encoder_convs_int8_resident(params, x, scales):
+    """int8 trunk with int8-RESIDENT inter-layer activations.
+
+    Same math as encoder_convs_int8 with static scales, but the next layer's
+    requantization is fused into each conv's epilogue:
+
+        q_next = clip(round(relu(acc * (x_inv*w_inv) + b) * s_next))
+
+    — all elementwise on the int32 accumulator, so XLA fuses it into the conv
+    output and each intermediate lives in HBM as int8 (~2 bytes/element)
+    instead of round-tripping through bf16 (~6 bytes/element: TPU convs
+    cannot fuse elementwise producers into their operand reads, so the
+    separate quantize() of the shipped path materializes both the bf16 and
+    the int8 copy). Requires static calibration scales (the fusion needs the
+    next scale as a trace-time constant). Output matches encoder_convs_int8
+    up to one removed bf16 rounding (probe: scripts/probe_int8_resident.py).
+
+    NEGATIVE RESULT, kept as the probe target: XLA already performs this
+    fusion on the shipped path (identical 47 MB/scene bytes-accessed), and
+    this hand-fused version measured ~5% slower. Not used by any model.
+    """
+    cdt = x.dtype
+    s1, s2, s3 = scales
+    w1q, w1_inv = quantize_conv_weight(params["c1"]["w"])
+    w2q, w2_inv = quantize_conv_weight(params["c2"]["w"])
+    w3q, w3_inv = quantize_conv_weight(params["c3"]["w"])
+
+    def conv_q(xq, wq, stride):
+        return lax.conv_general_dilated(
+            xq, wq, (stride, stride), ((1, 1), (1, 1)),
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            preferred_element_type=jnp.int32,
+        )
+
+    def epilogue_requant(acc, comb_inv, b, s_next):
+        y = jax.nn.relu(acc.astype(jnp.float32) * comb_inv
+                        + b.astype(jnp.float32))
+        return jnp.clip(jnp.round(y * s_next), -127, 127).astype(jnp.int8)
+
+    xq = quantize(x, s1)
+    q = epilogue_requant(conv_q(xq, w1q, 1), (1.0 / s1) * w1_inv,
+                         params["c1"]["b"], s2)
+    q = epilogue_requant(conv_q(q, w2q, 1), (1.0 / s2) * w2_inv,
+                         params["c2"]["b"], s3)
+    acc = conv_q(q, w3q, 2)
+    y = jax.nn.relu(acc.astype(jnp.float32) * ((1.0 / s3) * w3_inv)
+                    + params["c3"]["b"].astype(jnp.float32))
+    return y.astype(cdt)
+
+
 def encoder_convs_int8(params, x, scales=None):
     """int8 drop-in for the encoder conv trunk (c1->c2->c3 with ReLUs,
     /root/reference/src/autoencoder/components.py:19-21,41-43). Returns the
     c3 feature map in x.dtype.
 
     scales: static (input, c1-out, c2-out) quant scales from calibrate_trunk;
-    None falls back to dynamic per-batch absmax (slower, see header)."""
+    None falls back to dynamic per-batch absmax (slower, see header).
+
+    HBM note (scripts/probe_int8_resident.py): although this path nominally
+    dequantizes each conv output to the compute dtype and re-quantizes at the
+    next layer, XLA fuses the dequant+bias+relu+next-quantize chain into the
+    conv epilogue, so the inter-layer activation materializes in HBM as int8
+    only — cost analysis shows 47 MB/scene for this path AND for a hand-fused
+    int8-resident variant (encoder_convs_int8_resident), which measured
+    slightly SLOWER (3956 vs 4167 scenes/s trunk-only at batch 256). The
+    trunk is MXU-bound at int8, not HBM-bound; keep this formulation."""
     cdt = x.dtype
 
     def layer(v, p, stride, s):

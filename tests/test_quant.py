@@ -62,6 +62,21 @@ def test_int8_trunk_relative_error_small():
     assert rel < 0.05, rel
 
 
+def test_int8_resident_matches_shipped():
+    """The hand-fused int8-resident probe variant (negative perf result, kept
+    in-tree) must stay numerically identical to the shipped static-scale
+    path: same quantized values at every junction, f32 epilogue math."""
+    from driving_dirty_tpu.ops.quant import calibrate_trunk, encoder_convs_int8_resident
+
+    rng = np.random.RandomState(2)
+    params = _rand_params(rng)
+    x = jnp.asarray(rng.rand(2, 32, 48, 3).astype(np.float32))
+    scales = calibrate_trunk(params, x)
+    a = np.asarray(encoder_convs_int8(params, x, scales=scales))
+    b = np.asarray(encoder_convs_int8_resident(params, x, scales))
+    np.testing.assert_allclose(a, b, rtol=0, atol=0)
+
+
 def test_precision8_roadmap_mask_agreement():
     """End-to-end: --precision 8 masks agree with bf16 masks nearly everywhere
     (the 800x800 output is thresholded, so only boundary pixels may flip)."""
