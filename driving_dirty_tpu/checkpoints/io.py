@@ -134,6 +134,71 @@ def load(path):
     return out
 
 
+class AsyncWriter:
+    """Background checkpoint writer: keeps periodic checkpointing off the
+    step loop.
+
+    jax arrays are immutable, so capturing the pytree by reference is a
+    consistent snapshot — the training step produces NEW param buffers each
+    step. The device_get + npz write then run in a worker thread, overlapping
+    with training compute. The one exception is buffer donation
+    (`eager_get=True`): donated buffers are invalidated by the next step, so
+    the device_get must happen before `save` returns (the file write still
+    overlaps).
+
+    Writes to the same path are serialized by the single worker (FIFO), so
+    `last.ckpt` always ends up as the latest enqueued save. Worker errors are
+    re-raised on the next `save`/`wait` — a failing checkpoint must not be
+    silent (the preemption-resume contract depends on it existing).
+    """
+
+    def __init__(self):
+        import queue
+        import threading
+
+        self._q: "queue.Queue" = queue.Queue()
+        self._exc = None
+        self._thread = threading.Thread(target=self._run, daemon=True)
+        self._thread.start()
+
+    def _run(self):
+        while True:
+            job = self._q.get()
+            try:
+                if job is None:
+                    return
+                path, kwargs = job
+                save(path, **kwargs)
+            except BaseException as e:  # noqa: BLE001 — surfaced on next call
+                self._exc = e
+            finally:
+                self._q.task_done()
+
+    def _check(self):
+        if self._exc is not None:
+            exc, self._exc = self._exc, None
+            raise exc
+
+    def save(self, path, *, eager_get=False, **kwargs):
+        self._check()
+        if eager_get:
+            for k in ("params", "state", "opt_state", "extra"):
+                if kwargs.get(k) is not None:
+                    kwargs[k] = jax.device_get(kwargs[k])
+        self._q.put((path, kwargs))
+        return path
+
+    def wait(self):
+        """Block until every enqueued checkpoint is on disk; re-raise errors."""
+        self._q.join()
+        self._check()
+
+    def close(self):
+        self.wait()
+        self._q.put(None)
+        self._thread.join()
+
+
 def restore_opt_state(template_opt_state, leaves):
     """Rebuild an optax state from its saved leaf list.
 

@@ -145,6 +145,7 @@ class Trainer:
         self._walltime_t0 = time.perf_counter()
         self._preempted = False
         self._cost_logged = False
+        self._ckpt_writer = None
         self.global_step = 0
 
     def _walltime_exceeded(self) -> bool:
@@ -268,7 +269,7 @@ class Trainer:
 
     # ------------------------------------------------------------------
     def _save_ckpt(self, path, task, params, state, opt_state, rng, meta,
-                   best_val, plateau_wait, lr):
+                   best_val, plateau_wait, lr, sync: bool = False):
         """One checkpoint format for last/best/mid-epoch saves.
 
         Carries the FULL training state — params, BN state, optimizer state
@@ -276,7 +277,14 @@ class Trainer:
         rng key, and the (epoch, batch) data-order cursor — so a preempted run
         resumes exactly. This is the Lightning `optimizer_states`/
         `lr_schedulers` contract the reference's walltime-resubmit flow
-        depends on (/root/reference/src/submit.py:65, SURVEY.md §5.4)."""
+        depends on (/root/reference/src/submit.py:65, SURVEY.md §5.4).
+
+        Saves go through a background AsyncWriter so periodic checkpointing
+        never stalls the step loop (jax arrays are immutable — capturing the
+        pytree by reference is a consistent snapshot; under buffer donation
+        the device_get happens eagerly because the next step invalidates the
+        buffers). `sync=True` (preemption / fit-exit) blocks until the file
+        is on disk — a resubmitted job must find a complete checkpoint."""
         meta = dict(meta)
         meta["trainer_state"] = {
             "best_val": float(best_val),
@@ -284,11 +292,17 @@ class Trainer:
             "lr": float(lr),
             "seed": int(self.seed),
         }
-        return ckpt_io.save(
-            path, params=params, state=state, opt_state=opt_state,
+        if self._ckpt_writer is None:
+            self._ckpt_writer = ckpt_io.AsyncWriter()
+        self._ckpt_writer.save(
+            path, eager_get=self.donate_buffers,
+            params=params, state=state, opt_state=opt_state,
             hparams=vars(task.hparams), meta=meta,
             extra={"rng": np.asarray(jax.device_get(rng))},
         )
+        if sync:
+            self._ckpt_writer.wait()
+        return path
 
     def fit(self, task, resume_from: str | None = None) -> FitResult:
         run_dir = os.path.join(self.root, task.name)
@@ -457,6 +471,7 @@ class Trainer:
                               "batch_in_epoch": batch_offset + batch_idx + 1,
                               "task": task.name, "mid_epoch": True},
                         best_val=best_val, plateau_wait=plateau_wait, lr=lr,
+                        sync=self._preempted,
                     )
                 if self._preempted:
                     print(f"[{task.name}] preemption signal: checkpoint saved, stopping")
@@ -531,6 +546,10 @@ class Trainer:
                 )
 
         logger.close()
+        if self._ckpt_writer is not None:
+            # every enqueued checkpoint must be on disk before fit returns —
+            # callers immediately load best/last (and errors must surface here)
+            self._ckpt_writer.wait()
         return FitResult(params, state, best_val, best_path, last_path, scenes_per_sec)
 
     def _run_validation(self, task, val_step, params, state, rng):
