@@ -55,6 +55,68 @@ def _store_artifact(root, task_name):
     shutil.copy(src, os.path.join(ARTIFACTS, f"{task_name}.jsonl"))
 
 
+def test_detection_losses_decrease():
+    """The full fixed-shape detection train step (RPN match/sample/NMS + ROI
+    heads) must OPTIMIZE, not just produce finite grads: 24 adam steps on a
+    fixed synthetic scene at tiny image_size cut the summed torchvision-style
+    losses. Complements the AE/roadmap gates with the third model family."""
+    import jax
+    import jax.numpy as jnp
+    import optax
+
+    from driving_dirty_tpu.models.basic_ae import BasicAE as AEModel
+    from driving_dirty_tpu.models.faster_rcnn import FasterRCNNRoadMap
+
+    h, w, det = 16, 24, 128
+    task = FasterRCNNRoadMap(dict(
+        pretrained_path=None, ae_hidden_dim=8, ae_latent_dim=8, batch_size=2,
+        image_size=det, rpn_pre_nms_top_n=128, rpn_post_nms_top_n=64,
+        box_batch_per_image=32, max_bb=8, remat=False, unfreeze_epoch_no=0,
+    ))
+    task.ae = AEModel(dict(hidden_dim=8, latent_dim=8, input_height=h,
+                           input_width=6 * w, output_height=h, output_width=w))
+    task.latent_dim = 8
+    rng = np.random.RandomState(0)
+    boxes = np.zeros((2, 8, 2, 4), np.float32)
+    boxes[:, 0, 0] = [8, 8, -8, -8]   # one 16x16m box at the origin
+    boxes[:, 0, 1] = [8, -8, 8, -8]
+    boxes[:, 1, 0] = [30, 30, 20, 20]
+    boxes[:, 1, 1] = [-20, -30, -20, -30]
+    box_valid = np.zeros((2, 8), bool)
+    box_valid[:, :2] = True
+    batch = {
+        "images": jnp.asarray(rng.rand(2, 6, h, w, 3).astype(np.float32)),
+        "road": jnp.asarray((rng.rand(2, det, det) > 0.5).astype(np.float32)),
+        "boxes": jnp.asarray(boxes),
+        "box_valid": jnp.asarray(box_valid),
+        "categories": jnp.asarray(np.full((2, 8), 3, np.int32)),
+    }
+    params, state = task.init(jax.random.PRNGKey(0))
+    tx = optax.adam(1e-3)
+    opt = tx.init(params)
+
+    @jax.jit
+    def step(params, opt, state, key):
+        def loss_fn(p):
+            loss, (ns, _) = task.loss(p, state, batch, key, train=True)
+            return loss, ns
+
+        (loss, ns), g = jax.value_and_grad(loss_fn, has_aux=True)(params)
+        up, opt2 = tx.update(g, opt, params)
+        return optax.apply_updates(params, up), opt2, ns, loss
+
+    losses = []
+    key = jax.random.PRNGKey(1)
+    for i in range(24):
+        key, k = jax.random.split(key)
+        params, opt, state, loss = step(params, opt, state, k)
+        losses.append(float(loss))
+    head = float(np.mean(losses[:4]))
+    tail = float(np.mean(losses[-4:]))
+    assert np.isfinite(losses).all(), losses
+    assert tail < 0.8 * head, (head, tail, losses)
+
+
 def test_basic_ae_loss_decreases(data_dir, tmp_path):
     task = BasicAE(dict(
         link=data_dir, hidden_dim=16, latent_dim=16, batch_size=4,
