@@ -476,6 +476,9 @@ class Trainer:
                 if self._preempted:
                     print(f"[{task.name}] preemption signal: checkpoint saved, stopping")
                     logger.close()
+                    if self._ckpt_writer is not None:
+                        self._ckpt_writer.close()
+                        self._ckpt_writer = None
                     return FitResult(
                         params, state, best_val,
                         best_path, os.path.join(run_dir, "last.ckpt"), scenes_per_sec,
@@ -548,8 +551,11 @@ class Trainer:
         logger.close()
         if self._ckpt_writer is not None:
             # every enqueued checkpoint must be on disk before fit returns —
-            # callers immediately load best/last (and errors must surface here)
-            self._ckpt_writer.wait()
+            # callers immediately load best/last (and errors must surface
+            # here); close() also joins the worker thread so repeated fits
+            # (submit grid trials) don't accumulate writers
+            self._ckpt_writer.close()
+            self._ckpt_writer = None
         return FitResult(params, state, best_val, best_path, last_path, scenes_per_sec)
 
     def _run_validation(self, task, val_step, params, state, rng):
