@@ -147,9 +147,6 @@ class LabeledDataset:
         return self.scene_index.size * self.samples_per_scene
 
     def __getitem__(self, index):
-        from driving_dirty_tpu.ops import maps as map_ops
-        import jax.numpy as jnp
-
         scene_id = int(self.scene_index[index // self.samples_per_scene])
         sample_id = index % self.samples_per_scene
         path = os.path.join(self.image_folder, f"scene_{scene_id}", f"sample_{sample_id}")
@@ -173,8 +170,13 @@ class LabeledDataset:
             if self.extra_info and "action_id" in entries:
                 actions[:n] = entries["action_id"].to_numpy(np.int32)[:n]
 
+        # Host-side numpy twins of ops.maps.convert_map_to_{road,lane}_map:
+        # same elementwise semantics (helper.py:10-20), but they must NOT run
+        # through jnp here — on a TPU-default platform that would round-trip
+        # each 800x800 ego map host->device->host inside every loader thread,
+        # contending with the training step for the chip.
         ego_chw = np.transpose(_load_image(os.path.join(path, "ego.png")), (2, 0, 1))
-        road = np.asarray(map_ops.convert_map_to_road_map(jnp.asarray(ego_chw))).astype(np.float32)
+        road = (~((ego_chw[0] == 1) & (ego_chw[1] == 1) & (ego_chw[2] == 1))).astype(np.float32)
 
         item = {
             "images": images,
@@ -184,8 +186,9 @@ class LabeledDataset:
             "road": road,
         }
         if self.extra_info:
-            lane = np.asarray(
-                map_ops.convert_map_to_lane_map(jnp.asarray(ego_chw), binary_lane=True)
-            ).astype(np.float32)
+            lane_mask = (
+                (ego_chw[0] == ego_chw[1]) & (ego_chw[1] == ego_chw[2])
+            ) | (ego_chw[0] == 250 / 255)
+            lane = (~lane_mask).astype(np.float32)
             item.update(action=actions, ego=np.transpose(ego_chw, (1, 2, 0)), lane=lane)
         return item

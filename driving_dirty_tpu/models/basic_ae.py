@@ -103,10 +103,19 @@ class BasicAE(Int8TrunkMixin, Task):
         train_idx, val_idx = scene_split(
             UNLABELED_SCENES[:n_scenes], seed=hp(self.hparams, "seed", 20200505)
         )
-        mk = lambda idx: UnlabeledDataset(
-            link, idx, "sample", samples_per_scene=sps,
-            raw_uint8=bool(hp(self.hparams, "uint8_pipeline", True)),
-        )
+        cache_dir = hp(self.hparams, "cache_dir", None)
+
+        def mk(idx):
+            ds = UnlabeledDataset(
+                link, idx, "sample", samples_per_scene=sps,
+                raw_uint8=bool(hp(self.hparams, "uint8_pipeline", True)),
+            )
+            if cache_dir:
+                from driving_dirty_tpu.data.cache import SampleCache
+
+                ds = SampleCache(ds, cache_dir)
+            return ds
+
         return mk(train_idx), mk(val_idx)
 
     def _num_workers(self):
@@ -153,4 +162,6 @@ class BasicAE(Int8TrunkMixin, Task):
         parser.add_argument("--output_img_freq", type=int, default=500)
         parser.add_argument("--samples_per_scene", type=int, default=NUM_SAMPLE_PER_SCENE)
         parser.add_argument("--num_unlabeled_scenes", type=int, default=len(UNLABELED_SCENES))
+        parser.add_argument("--cache_dir", type=str, default=None,
+                            help="decode-once sample cache directory (data/cache.py)")
         return parser

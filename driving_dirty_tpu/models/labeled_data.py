@@ -28,11 +28,20 @@ class LabeledDataMixin:
         train_idx, val_idx = scene_split(
             LABELED_SCENES[:n_scenes], seed=hp(h, "seed", 20200505)
         )
-        mk = lambda idx: LabeledDataset(
-            link, annotation, idx, max_boxes=max_boxes, extra_info=extra_info,
-            samples_per_scene=sps,
-            raw_uint8=bool(hp(h, "uint8_pipeline", True)),
-        )
+        cache_dir = hp(h, "cache_dir", None)
+
+        def mk(idx):
+            ds = LabeledDataset(
+                link, annotation, idx, max_boxes=max_boxes, extra_info=extra_info,
+                samples_per_scene=sps,
+                raw_uint8=bool(hp(h, "uint8_pipeline", True)),
+            )
+            if cache_dir:
+                from driving_dirty_tpu.data.cache import SampleCache
+
+                ds = SampleCache(ds, cache_dir)
+            return ds
+
         return mk(train_idx), mk(val_idx)
 
     def _num_workers(self):
@@ -62,4 +71,8 @@ def add_labeled_data_args(parser):
     parser.add_argument("--output_img_freq", type=int, default=500)
     parser.add_argument("--samples_per_scene", type=int, default=NUM_SAMPLE_PER_SCENE)
     parser.add_argument("--num_labeled_scenes", type=int, default=len(LABELED_SCENES))
+    parser.add_argument("--cache_dir", type=str, default=None,
+                        help="decode-once sample cache directory (data/cache.py): "
+                             "epoch 2+ reads memmapped device-ready items instead "
+                             "of re-decoding JPEG/PNG/CSV; shared across tasks")
     return parser

@@ -1,0 +1,125 @@
+"""SampleCache: decode-once memmap cache (driving_dirty_tpu/data/cache.py)."""
+import numpy as np
+import pytest
+
+from driving_dirty_tpu.data.cache import SampleCache, dataset_fingerprint
+from driving_dirty_tpu.data.dataset import LabeledDataset, UnlabeledDataset
+from driving_dirty_tpu.data.pipeline import Loader
+from driving_dirty_tpu.data.synthetic import generate
+
+
+@pytest.fixture(scope="module")
+def data_root(tmp_path_factory):
+    d = tmp_path_factory.mktemp("cache_data")
+    generate(str(d), scenes=1, samples=3, labeled_scenes=1, seed=0)
+    return str(d)
+
+
+def _tree_equal(a, b):
+    assert type(a) is type(b)
+    if isinstance(a, dict):
+        assert set(a) == set(b)
+        for k in a:
+            np.testing.assert_array_equal(np.asarray(a[k]), np.asarray(b[k]), err_msg=k)
+    elif isinstance(a, tuple):
+        assert len(a) == len(b)
+        for x, y in zip(a, b):
+            np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
+    else:
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_labeled_roundtrip_exact(data_root, tmp_path):
+    ds = LabeledDataset(data_root, f"{data_root}/annotation.csv", [106],
+                        samples_per_scene=3, raw_uint8=True)
+    cached = SampleCache(ds, str(tmp_path))
+    raw = [ds[i] for i in range(len(ds))]
+    first = [cached[i] for i in range(len(cached))]   # misses: decode + write
+    second = [cached[i] for i in range(len(cached))]  # hits: memmap reads
+    for r, f, s in zip(raw, first, second):
+        _tree_equal(r, f)
+        _tree_equal(r, s)
+    assert cached.misses == len(ds) and cached.hits == len(ds)
+    assert cached.fraction_cached == 1.0
+    # road is {0,1} float32 -> stored uint8, restored float32 exactly
+    assert cached._meta["store_dtype"]["road"] == "|u1"
+    assert second[0]["road"].dtype == np.float32
+
+
+def test_cache_persists_across_instances(data_root, tmp_path):
+    ds = LabeledDataset(data_root, f"{data_root}/annotation.csv", [106],
+                        samples_per_scene=3, raw_uint8=True)
+    c1 = SampleCache(ds, str(tmp_path))
+    c1.warm(num_workers=4)
+    c2 = SampleCache(ds, str(tmp_path))  # fresh process-equivalent reopen
+    assert c2.fraction_cached == 1.0
+    item = c2[1]
+    assert c2.hits == 1 and c2.misses == 0
+    _tree_equal(item, ds[1])
+
+
+def test_tuple_items_and_scalars(data_root, tmp_path):
+    ds = UnlabeledDataset(data_root, [0], "image", samples_per_scene=3, raw_uint8=True)
+    cached = SampleCache(ds, str(tmp_path))
+    img0, cam0 = cached[4]
+    img1, cam1 = cached[4]
+    np.testing.assert_array_equal(img0, img1)
+    assert int(cam0) == int(cam1) == 4 % 6
+
+
+def test_fingerprint_separates_configs(data_root):
+    a = UnlabeledDataset(data_root, [0], "sample", samples_per_scene=3, raw_uint8=True)
+    b = UnlabeledDataset(data_root, [0], "sample", samples_per_scene=3, raw_uint8=False)
+    c = UnlabeledDataset(data_root, [0], "sample", samples_per_scene=3, raw_uint8=True)
+    assert dataset_fingerprint(a) != dataset_fingerprint(b)
+    assert dataset_fingerprint(a) == dataset_fingerprint(c)
+
+
+def test_length_mismatch_rejected(data_root, tmp_path):
+    ds3 = UnlabeledDataset(data_root, [0], "sample", samples_per_scene=3, raw_uint8=True)
+    cache = SampleCache(ds3, str(tmp_path))
+    cache.warm()
+
+    # same fingerprint dir, different length -> must refuse, not corrupt
+    class Lying(UnlabeledDataset):
+        def __len__(self):
+            return 2
+
+    ds2 = Lying(data_root, [0], "sample", samples_per_scene=3, raw_uint8=True)
+    # force the same directory by pointing at the existing cache subdir layout
+    import os
+
+    sub = os.listdir(str(tmp_path))[0]
+    meta_dir = str(tmp_path)
+    assert sub  # cache exists
+
+    class SameFp(Lying):
+        pass
+
+    # monkeypatch fingerprint to collide
+    import driving_dirty_tpu.data.cache as cache_mod
+
+    orig = cache_mod.dataset_fingerprint
+    cache_mod.dataset_fingerprint = lambda d: sub
+    try:
+        with pytest.raises(ValueError, match="length"):
+            SampleCache(ds2, meta_dir)
+    finally:
+        cache_mod.dataset_fingerprint = orig
+
+
+def test_threaded_loader_over_cache(data_root, tmp_path):
+    """The Loader's decode pool builds the cache concurrently; epoch 2 is
+    all hits and batch contents are identical."""
+    ds = LabeledDataset(data_root, f"{data_root}/annotation.csv", [106],
+                        samples_per_scene=3, raw_uint8=True)
+    cached = SampleCache(ds, str(tmp_path))
+    loader = Loader(cached, batch_size=2, shuffle=False, num_workers=3)
+    e1 = [b for b, m in loader]
+    assert cached.fraction_cached == 1.0
+    hits_before = cached.hits
+    e2 = [b for b, m in loader]
+    assert cached.misses == len(ds)  # no re-decode in epoch 2
+    assert cached.hits > hits_before
+    for b1, b2 in zip(e1, e2):
+        _tree_equal(b1, b2)
