@@ -146,28 +146,48 @@ class AsyncWriter:
     the device_get must happen before `save` returns (the file write still
     overlaps).
 
-    Writes to the same path are serialized by the single worker (FIFO), so
-    `last.ckpt` always ends up as the latest enqueued save. Worker errors are
-    re-raised on the next `save`/`wait` — a failing checkpoint must not be
-    silent (the preemption-resume contract depends on it existing).
+    Writes to the same path are serialized by the single worker (FIFO), and
+    pending saves to the same path COALESCE (newest wins): a backlog never
+    pins more than one snapshot per path. Worker errors are re-raised on the
+    next `save`/`wait` — a failing checkpoint must not be silent (the
+    preemption-resume contract depends on it existing).
+
+    Memory discipline: the worker pulls every piece to host (`device_get`)
+    and drops the device references BEFORE starting the file write. Holding
+    jax arrays for the npz write's full duration pins an entire extra
+    generation of params+opt_state in HBM — observed as a
+    RESOURCE_EXHAUSTED in epoch 2 of a hidden-128 run on a 16 GB v5e, where
+    the epoch-1 checkpoint (~3.4 GB of f32 params + Adam moments) stayed
+    pinned under the next epoch's un-donated step transients.
     """
+
+    _ARRAY_KEYS = ("params", "state", "opt_state", "extra")
 
     def __init__(self):
         import queue
         import threading
 
         self._q: "queue.Queue" = queue.Queue()
+        self._pending: dict = {}  # path -> kwargs of the NEWEST enqueued save
+        self._lock = threading.Lock()
         self._exc = None
         self._thread = threading.Thread(target=self._run, daemon=True)
         self._thread.start()
 
     def _run(self):
         while True:
-            job = self._q.get()
+            path = self._q.get()
             try:
-                if job is None:
+                if path is None:
                     return
-                path, kwargs = job
+                with self._lock:
+                    kwargs = self._pending.pop(path, None)
+                if kwargs is None:
+                    continue  # coalesced into a newer save for this path
+                # host-get first, releasing device buffers before the write
+                for k in self._ARRAY_KEYS:
+                    if kwargs.get(k) is not None:
+                        kwargs[k] = jax.device_get(kwargs[k])
                 save(path, **kwargs)
             except BaseException as e:  # noqa: BLE001 — surfaced on next call
                 self._exc = e
@@ -182,10 +202,14 @@ class AsyncWriter:
     def save(self, path, *, eager_get=False, **kwargs):
         self._check()
         if eager_get:
-            for k in ("params", "state", "opt_state", "extra"):
+            for k in self._ARRAY_KEYS:
                 if kwargs.get(k) is not None:
                     kwargs[k] = jax.device_get(kwargs[k])
-        self._q.put((path, kwargs))
+        with self._lock:
+            replacing = path in self._pending
+            self._pending[path] = kwargs  # newest wins; stale refs drop now
+        if not replacing:
+            self._q.put(path)
         return path
 
     def wait(self):

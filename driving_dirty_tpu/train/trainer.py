@@ -294,8 +294,14 @@ class Trainer:
         }
         if self._ckpt_writer is None:
             self._ckpt_writer = ckpt_io.AsyncWriter()
+        # eager_get on axon even without donation: a multi-GB device_get
+        # running in the writer thread CONCURRENTLY with the next epoch's
+        # dispatched steps exhausts the tunneled platform's backend
+        # (RESOURCE_EXHAUSTED reproduced at hidden=128 — an A/B with
+        # checkpointing disabled runs clean). Stalling the loop for the
+        # transfer (write still backgrounded) is the correct trade there.
         self._ckpt_writer.save(
-            path, eager_get=self.donate_buffers,
+            path, eager_get=self.donate_buffers or _on_axon_platform(),
             params=params, state=state, opt_state=opt_state,
             hparams=vars(task.hparams), meta=meta,
             extra={"rng": np.asarray(jax.device_get(rng))},

@@ -72,3 +72,33 @@ def test_eager_get_snapshots_before_return(tmp_path):
     del params  # donation analog: source buffers gone before the write lands
     w.close()
     np.testing.assert_array_equal(ckpt_io.load(path)["params"]["w"], np.ones((2, 2)))
+
+
+def test_pending_saves_coalesce(tmp_path, monkeypatch):
+    """A backlog of saves to one path collapses to the newest snapshot: the
+    worker must not hold (and serially write) every intermediate generation —
+    that pinned whole param+opt_state generations in HBM (io.py AsyncWriter
+    docstring). Stale writes are skipped entirely."""
+    import threading
+    import time
+
+    writes = []
+    real_save = ckpt_io.save
+    gate = threading.Event()
+
+    def slow_save(path, **kw):
+        gate.wait(5)  # hold the worker on the FIRST write until all enqueued
+        writes.append(kw["meta"]["epoch"])
+        return real_save(path, **kw)
+
+    monkeypatch.setattr(ckpt_io, "save", slow_save)
+    w = ckpt_io.AsyncWriter()
+    path = str(tmp_path / "last.ckpt")
+    w.save(path, **_payload(0))       # worker dequeues, blocks in slow_save
+    time.sleep(0.2)                   # let the worker pick up epoch-0
+    for i in (1, 2, 3):
+        w.save(path, **_payload(i))   # 1 and 2 must coalesce away under 3
+    gate.set()
+    w.close()
+    assert writes == [0, 3], writes   # intermediates never written
+    assert ckpt_io.load(path)["meta"]["epoch"] == 3
