@@ -45,18 +45,68 @@ UNLABELED_SCENES = np.arange(106)
 LABELED_SCENES = np.arange(106, 134)
 
 
-def _load_image(path, raw_uint8: bool = False):
+_native = False  # tri-state: False = not probed, None = unavailable, module
+
+
+def _native_decoder():
+    """Lazy-build the C++ decoder (data/native/loader.cpp); None if it can't
+    build. DD_NATIVE_DECODE=0 forces the PIL path (e.g. for parity tests)."""
+    global _native
+    if _native is False:
+        if os.environ.get("DD_NATIVE_DECODE", "1") == "0":
+            _native = None
+        else:
+            try:
+                from . import _native as mod
+
+                _native = mod
+            except Exception:
+                _native = None
+    return _native
+
+
+def _load_image(path, raw_uint8: bool = False, shape=None):
+    """Decode one JPEG/PNG to RGB HWC (uint8, or f32 in [0,1]).
+
+    With `shape=(h, w)` the decode goes through the native libjpeg/libpng
+    path (bit-identical to PIL, ~1.6x faster per image and no intermediate
+    copies — data/native/loader.cpp); without a shape hint, or when the
+    native build is unavailable, PIL decodes.
+
+    raw_uint8: keep raw bytes; /255 runs on device
+    (ops.stitch.normalize_images). 4x fewer bytes to stack, copy and DMA
+    than the reference's host-side to_tensor float path (data_helper.py:66).
+    """
+    if shape is not None:
+        nat = _native_decoder()
+        if nat is not None:
+            try:
+                return nat.decode_image(path, shape[0], shape[1], raw_uint8=raw_uint8)
+            except OSError:
+                pass  # odd file (size mismatch / corrupt header): let PIL try
     from PIL import Image
 
     with Image.open(path) as im:
         if raw_uint8:
-            # uint8 pipeline: keep raw bytes; /255 runs on device
-            # (ops.stitch.normalize_images). 4x fewer bytes to stack, copy
-            # and DMA than the reference's host-side to_tensor float path
-            # (data_helper.py:66).
             return np.asarray(im.convert("RGB"), dtype=np.uint8)
         arr = np.asarray(im.convert("RGB"), dtype=np.float32) / 255.0
     return arr  # HWC
+
+
+def _load_sample_images(path, raw_uint8: bool):
+    """All 6 camera views of one sample as a [6, H, W, 3] array.
+
+    Native path decodes every view straight into one contiguous buffer
+    (no per-image arrays, no np.stack copy); PIL fallback stacks.
+    """
+    paths = [os.path.join(path, n) for n in IMAGE_NAMES]
+    nat = _native_decoder()
+    if nat is not None:
+        try:
+            return nat.decode_batch(paths, IMAGE_H, IMAGE_W, raw_uint8=raw_uint8, nthreads=1)
+        except OSError:
+            pass
+    return np.stack([_load_image(p, raw_uint8) for p in paths])
 
 
 def scene_split(scene_index, train_frac=0.8, seed=None, shuffle=True):
@@ -101,14 +151,15 @@ class UnlabeledDataset:
             scene_id = self.scene_index[index // sps]
             sample_id = index % sps
             path = self._sample_path(scene_id, sample_id)
-            return np.stack(
-                [_load_image(os.path.join(path, n), self.raw_uint8) for n in IMAGE_NAMES]
-            )
+            return _load_sample_images(path, self.raw_uint8)
         scene_id = self.scene_index[index // (sps * NUM_IMAGE_PER_SAMPLE)]
         sample_id = (index % (sps * NUM_IMAGE_PER_SAMPLE)) // NUM_IMAGE_PER_SAMPLE
         cam = index % NUM_IMAGE_PER_SAMPLE
         path = self._sample_path(scene_id, sample_id)
-        return _load_image(os.path.join(path, IMAGE_NAMES[cam]), self.raw_uint8), cam
+        img = _load_image(
+            os.path.join(path, IMAGE_NAMES[cam]), self.raw_uint8, shape=(IMAGE_H, IMAGE_W)
+        )
+        return img, cam
 
 
 @dataclass
@@ -150,9 +201,7 @@ class LabeledDataset:
         scene_id = int(self.scene_index[index // self.samples_per_scene])
         sample_id = index % self.samples_per_scene
         path = os.path.join(self.image_folder, f"scene_{scene_id}", f"sample_{sample_id}")
-        images = np.stack(
-            [_load_image(os.path.join(path, n), self.raw_uint8) for n in IMAGE_NAMES]
-        )
+        images = _load_sample_images(path, self.raw_uint8)
 
         entries = self._groups.get((scene_id, sample_id))
         boxes = np.zeros((self.max_boxes, 2, 4), np.float32)
@@ -175,7 +224,9 @@ class LabeledDataset:
         # through jnp here — on a TPU-default platform that would round-trip
         # each 800x800 ego map host->device->host inside every loader thread,
         # contending with the training step for the chip.
-        ego_chw = np.transpose(_load_image(os.path.join(path, "ego.png")), (2, 0, 1))
+        ego_chw = np.transpose(
+            _load_image(os.path.join(path, "ego.png"), shape=(800, 800)), (2, 0, 1)
+        )
         road = (~((ego_chw[0] == 1) & (ego_chw[1] == 1) & (ego_chw[2] == 1))).astype(np.float32)
 
         item = {

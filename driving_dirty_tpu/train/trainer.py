@@ -457,11 +457,14 @@ class Trainer:
                     except NotImplementedError:
                         pass
                 self.global_step += 1
+                stop_reason = None
                 if self.max_steps is not None and self.global_step >= self.max_steps:
                     self._preempted = True  # same clean-stop path as SIGTERM
+                    stop_reason = f"max_steps={self.max_steps} reached"
                 if self._walltime_exceeded():
                     print(f"[{task.name}] walltime budget reached: checkpointing for resubmit")
                     self._preempted = True
+                    stop_reason = "walltime budget reached"
                 # mid-epoch / preemption checkpointing (SURVEY.md §5.3)
                 if self.enable_checkpointing and (
                     self._preempted
@@ -480,7 +483,8 @@ class Trainer:
                         sync=self._preempted,
                     )
                 if self._preempted:
-                    print(f"[{task.name}] preemption signal: checkpoint saved, stopping")
+                    reason = stop_reason or "preemption signal"
+                    print(f"[{task.name}] {reason}: checkpoint saved, stopping")
                     logger.close()
                     if self._ckpt_writer is not None:
                         self._ckpt_writer.close()
