@@ -12,8 +12,9 @@ program (SURVEY.md hard-part 1):
 
   * anchors: dense grid, scored in bulk; top-k pre-NMS instead of per-image
     variable filtering;
-  * matching: memory-lean scan (ops.detection.match_anchors) — never builds
-    the [2.4M anchors x gt] matrix;
+  * matching: grid-factored labels (ops.detection.match_labels_grid) — never
+    builds the [2.4M anchors x gt] matrix; matched-gt indices recomputed for
+    the sampled subset only (ops.detection.match_subset);
   * NMS: ops.detection.nms_fixed (scan over sorted candidates);
   * samplers: noise+top-k (ops.detection.sample_balanced);
   * RoIAlign: one fused gather (ops.detection.roi_align).
@@ -186,12 +187,19 @@ class FasterRCNNHead:
         cfg = self.cfg
         anchors = self.anchors()
 
+        cells = jnp.asarray(det.base_anchors(cfg.anchor_sizes, cfg.anchor_ratios))
+
         def per_image(key, obj, dl, gtb, gtv):
-            labels, match_idx, _ = det.match_anchors(
-                anchors, gtb, gtv, cfg.rpn_fg_thresh, cfg.rpn_bg_thresh
+            # grid-factored matching over all 2.4M anchors (division-free
+            # threshold tests, separable per-gt max — see match_labels_grid);
+            # matched-gt indices recomputed for just the sampled 256
+            labels, gt_best_iou = det.match_labels_grid(
+                cells, cfg.feat_size, cfg.feat_size, cfg.feat_stride,
+                gtb, gtv, cfg.rpn_fg_thresh, cfg.rpn_bg_thresh,
             )
             idx, is_pos, take = det.sample_balanced(
-                key, labels, cfg.rpn_batch_per_image, cfg.rpn_positive_fraction
+                key, labels, cfg.rpn_batch_per_image, cfg.rpn_positive_fraction,
+                approx=not cfg.exact_topk,
             )
             w = take.astype(jnp.float32)
             o = obj[idx]
@@ -199,7 +207,8 @@ class FasterRCNNHead:
             obj_loss = jnp.sum(
                 w * (jnp.maximum(o, 0) - o * t + jnp.log1p(jnp.exp(-jnp.abs(o))))
             ) / jnp.maximum(jnp.sum(w), 1.0)
-            matched_gt = gtb[match_idx[idx]]
+            match_sub = det.match_subset(anchors[idx], gtb, gtv, gt_best_iou)
+            matched_gt = gtb[match_sub]
             targets = box_ops.encode(matched_gt, anchors[idx], RPN_BOX_WEIGHTS)
             pw = is_pos.astype(jnp.float32)[:, None]
             reg_loss = jnp.sum(

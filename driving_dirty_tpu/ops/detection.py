@@ -67,48 +67,59 @@ def match_anchors(
     high_thresh: float = 0.7,
     low_thresh: float = 0.3,
     force_match_gt: bool = True,
+    block_size: int = 32768,
 ):
     """Assign each anchor a label {-1 ignore, 0 negative, 1 positive} and a
     matched GT index.
 
-    Memory-lean for huge anchor sets: instead of the [N_anchors, N_gt] IoU
-    matrix, scans over the (padded) GT axis carrying per-anchor running
-    max/argmax — peak memory O(N_anchors), not O(N_anchors * N_gt).
+    Memory-lean for huge anchor sets: never materializes the full
+    [N_anchors, N_gt] IoU matrix (~1 GB at 2.4M anchors x 100 gts). Anchors
+    are processed in `block_size` blocks (lax.map); each block computes its
+    [block, G] IoU against ALL gts at once and reduces it in-fusion to
+    per-anchor best/argmax plus a per-block per-gt max. This replaced a
+    per-gt lax.scan carrying 2.4M-wide state: 200 sequential sweeps over the
+    full anchor set were HBM-bound at ~436 ms per 16-image train step; the
+    blocked form measures ~14x faster for identical outputs
+    (scripts/probe_det_train.py).
     Semantics follow torchvision's Matcher with allow_low_quality_matches:
     anchors with IoU >= high are positive, < low negative, else ignored; each
-    valid GT's best-overlapping anchor is forced positive.
+    valid GT's best-overlapping anchor (including its argmax ties) is forced
+    positive. Ties on the per-anchor argmax pick the lowest gt index, as the
+    sequential matcher did.
     """
     n = anchors.shape[0]
+    blk = min(block_size, n)
+    nb = -(-n // blk)
+    pad = nb * blk - n
+    apad = jnp.concatenate([anchors, jnp.zeros((pad, 4), anchors.dtype)]) if pad else anchors
+    ablocks = apad.reshape(nb, blk, 4)
 
-    def pass1(carry, gt):
-        best_iou, best_idx, idx = carry
-        box, valid = gt
-        iou = jnp.where(valid, pairwise_iou(anchors, box[None])[:, 0], 0.0)
-        better = iou > best_iou
-        best_iou = jnp.where(better, iou, best_iou)
-        best_idx = jnp.where(better, idx, best_idx)
-        return (best_iou, best_idx, idx + 1), jnp.max(iou)
+    def pass1(blk_anchors):
+        iou = jnp.where(gt_valid[None, :], pairwise_iou(blk_anchors, gt_boxes), 0.0)
+        best = jnp.max(iou, axis=1)
+        bidx = jnp.argmax(iou, axis=1).astype(jnp.int32)  # first max on ties
+        return best, bidx, jnp.max(iou, axis=0)
 
-    init = (jnp.zeros(n), jnp.zeros(n, jnp.int32), jnp.asarray(0, jnp.int32))
-    (best_iou, best_idx, _), gt_best_iou = lax.scan(pass1, init, (gt_boxes, gt_valid))
+    best, bidx, gt_best_blocks = lax.map(pass1, ablocks)
+    best_iou = best.reshape(-1)[:n]
+    best_idx = bidx.reshape(-1)[:n]
+    gt_best_iou = jnp.max(gt_best_blocks, axis=0)  # [G] best IoU over ALL anchors
 
     labels = jnp.where(best_iou >= high_thresh, 1, jnp.where(best_iou < low_thresh, 0, -1))
     if force_match_gt:
-        # Second pass recomputes each gt's IoU row and ORs its argmax-tie set
-        # into `forced` — per-anchor state only, never the [n_gt, n] matrix
-        # (which would be ~1GB at 2.4M anchors x 100 gts).
-        def pass2(carry, gt):
-            forced, forced_gt, idx = carry
-            box, valid, gbest = gt
-            iou = jnp.where(valid, pairwise_iou(anchors, box[None])[:, 0], 0.0)
-            is_best = (iou >= gbest - 1e-7) & (gbest > 0) & valid
-            forced_gt = jnp.where(is_best & ~forced, idx, forced_gt)
-            return (forced | is_best, forced_gt, idx + 1), None
+        def pass2(blk_anchors):
+            iou = jnp.where(gt_valid[None, :], pairwise_iou(blk_anchors, gt_boxes), 0.0)
+            is_best = (
+                (iou >= gt_best_iou[None, :] - 1e-7)
+                & (gt_best_iou[None, :] > 0)
+                & gt_valid[None, :]
+            )
+            # argmax over bools -> first gt whose tie set contains this anchor
+            return jnp.any(is_best, axis=1), jnp.argmax(is_best, axis=1).astype(jnp.int32)
 
-        init2 = (jnp.zeros(n, bool), jnp.zeros(n, jnp.int32), jnp.asarray(0, jnp.int32))
-        (forced, forced_gt, _), _ = lax.scan(
-            init=init2, f=pass2, xs=(gt_boxes, gt_valid, gt_best_iou)
-        )
+        forced, forced_gt = lax.map(pass2, ablocks)
+        forced = forced.reshape(-1)[:n]
+        forced_gt = forced_gt.reshape(-1)[:n]
         labels = jnp.where(forced, 1, labels)
         best_idx = jnp.where(forced & (best_iou <= 0), forced_gt, best_idx)
     no_gt = ~jnp.any(gt_valid)
@@ -116,7 +127,139 @@ def match_anchors(
     return labels, best_idx, best_iou
 
 
-def sample_balanced(key, labels, num_samples: int, positive_fraction: float):
+def match_labels_grid(
+    cell_anchors,
+    feat_h: int,
+    feat_w: int,
+    stride: int,
+    gt_boxes,
+    gt_valid,
+    high_thresh: float = 0.7,
+    low_thresh: float = 0.3,
+    row_block: int = 16,
+):
+    """Labels-only anchor matching for a REGULAR anchor grid:
+    -> (labels [feat_h*feat_w*A], gt_best_iou [G]).
+
+    Exploits the grid structure that `match_anchors` (generic boxes) cannot:
+    anchors factor into per-axis intervals, so
+
+      * the per-axis overlaps are small tables ox [W, A, G], oy [H, A, G]
+        (the only O(N*G) quantity, inter = oy*ox, is never summed — it only
+        feeds max/threshold reductions);
+      * the per-gt best intersection is SEPARABLE: for a fixed anchor type,
+        IoU = inter / (sa + sg - inter) is monotone in inter, so
+        max_cells inter = (max_y oy) * (max_x ox) — gt_best_iou costs
+        O(H*A*G), with divisions only on the tiny [A, G] table;
+      * every per-anchor test is a DIVISION-FREE cross-multiplication:
+        iou >= t  <=>  inter * (1 + t) >= t * (sa + sg), with the RHS
+        precomputed per (A, G).
+
+    One cheap full pass (1 mul + 3 fused compare-reduces per pair) replaces
+    the two division-heavy IoU passes of the generic matcher: 221 ms ->
+    ~23 ms per 16-image RPN step at 2.4M anchors (scripts/probe_det_train.py).
+
+    Label semantics match `match_anchors` / torchvision's Matcher with
+    allow_low_quality_matches, with two documented micro-divergences:
+    anchor areas are computed per TYPE (exact cell-anchor extents) rather
+    than from the shifted per-cell f32 coordinates, and threshold tests are
+    cross-multiplied rather than divided — either can flip an anchor whose
+    IoU sits within ~1 ulp (~1e-5 relative) of a threshold or tie boundary.
+    Matched-gt indices for a sampled subset come from `match_subset`.
+    """
+    ca = jnp.asarray(cell_anchors, jnp.float32)  # [A, 4]
+    a_n = ca.shape[0]
+    xs = jnp.arange(feat_w, dtype=jnp.float32) * stride
+    ys = jnp.arange(feat_h, dtype=jnp.float32) * stride
+    gx0, gy0, gx1, gy1 = gt_boxes[:, 0], gt_boxes[:, 1], gt_boxes[:, 2], gt_boxes[:, 3]
+    # per-axis interval overlaps of every (cell-position, anchor-type, gt)
+    ax0 = xs[:, None] + ca[None, :, 0]
+    ax1 = xs[:, None] + ca[None, :, 2]
+    ay0 = ys[:, None] + ca[None, :, 1]
+    ay1 = ys[:, None] + ca[None, :, 3]
+    ox = jnp.clip(jnp.minimum(ax1[:, :, None], gx1) - jnp.maximum(ax0[:, :, None], gx0), 0)  # [W, A, G]
+    oy = jnp.clip(jnp.minimum(ay1[:, :, None], gy1) - jnp.maximum(ay0[:, :, None], gy0), 0)  # [H, A, G]
+
+    sa = jnp.clip(ca[:, 2] - ca[:, 0], 0) * jnp.clip(ca[:, 3] - ca[:, 1], 0)  # [A]
+    sg = jnp.clip(gx1 - gx0, 0) * jnp.clip(gy1 - gy0, 0)                      # [G]
+    s_ag = sa[:, None] + sg[None, :]                                          # [A, G]
+
+    # per-gt best IoU via the separable max (divisions only on [A, G])
+    mi = jnp.max(oy, axis=0) * jnp.max(ox, axis=0)                            # [A, G]
+    union = s_ag - mi
+    iou_best = jnp.where(union > 0, mi / union, 0.0)
+    iou_best = jnp.where(gt_valid[None, :], iou_best, 0.0)
+    gt_best_iou = jnp.max(iou_best, axis=0)                                   # [G]
+
+    # cross-multiplied threshold tables; +inf disables invalid/degenerate gts
+    ok = gt_valid[None, :] & (s_ag > 0)
+    inf = jnp.asarray(jnp.inf, jnp.float32)
+    r_hi = jnp.where(ok, high_thresh * s_ag, inf)
+    r_lo = jnp.where(ok, low_thresh * s_ag, inf)
+    t = gt_best_iou - 1e-7
+    r_f = jnp.where(ok & (gt_best_iou > 0)[None, :], t[None, :] * s_ag, inf)
+    c_f = 1.0 + t                                                             # [G]
+
+    nb = -(-feat_h // row_block)
+    pad = nb * row_block - feat_h
+    oy_p = jnp.concatenate([oy, jnp.zeros((pad,) + oy.shape[1:], oy.dtype)]) if pad else oy
+    oy_blocks = oy_p.reshape(nb, row_block, a_n, -1)
+
+    def rows(oy_blk):
+        # inter [rb, W, A, G]: virtual — feeds three same-axis reductions
+        inter = oy_blk[:, None, :, :] * ox[None, :, :, :]
+        hi = jnp.any(inter * (1.0 + high_thresh) >= r_hi, axis=-1)
+        nn = jnp.any(inter * (1.0 + low_thresh) >= r_lo, axis=-1)
+        fc = jnp.any(inter * c_f >= r_f, axis=-1)
+        return jnp.where(hi | fc, 1, jnp.where(nn, -1, 0))
+
+    labels = lax.map(rows, oy_blocks).reshape(-1)[: feat_h * feat_w * a_n]
+    labels = jnp.where(~jnp.any(gt_valid), 0, labels)
+    return labels, gt_best_iou
+
+
+def match_subset(sub_anchors, gt_boxes, gt_valid, gt_best_iou):
+    """Matched-gt index for a small anchor subset ([S, 4], S ~ 256).
+
+    Reproduces `match_anchors`' best_idx exactly (first-max argmax ties;
+    forced_gt override for forced anchors with zero best IoU) at [S, G]
+    cost instead of [N, G]. `gt_best_iou` comes from `match_labels_grid`
+    (or `match_anchors`' third output's per-gt max)."""
+    iou = jnp.where(gt_valid[None, :], pairwise_iou(sub_anchors, gt_boxes), 0.0)
+    best = jnp.max(iou, axis=1)
+    idx = jnp.argmax(iou, axis=1).astype(jnp.int32)
+    is_best = (iou >= gt_best_iou[None, :] - 1e-7) & (gt_best_iou[None, :] > 0) & gt_valid[None, :]
+    forced = jnp.any(is_best, axis=1)
+    forced_gt = jnp.argmax(is_best, axis=1).astype(jnp.int32)
+    return jnp.where(forced & (best <= 0), forced_gt, idx)
+
+
+def blocked_top_k(vals, k: int, block_size: int = 65536):
+    """Exact top-k over a long 1-D array as two short top-ks.
+
+    lax.top_k over the flat 2.4M-anchor axis is a full sort on TPU (~60 ms
+    per 16-image step inside sample_balanced); splitting into per-block
+    top-ks and a final top-k over the nb*k survivors is exact (every global
+    top-k element is in its own block's top-k) and an order of magnitude
+    cheaper. Tie ORDER between equal values can differ from the flat top_k's
+    (survivors are concatenated block-major); values and counts are
+    identical, which is all the samplers depend on.
+    """
+    n = vals.shape[0]
+    if n <= block_size or n <= k:
+        return lax.top_k(vals, k)
+    blk = max(block_size, k)
+    nb = -(-n // blk)
+    pad = nb * blk - n
+    v = jnp.concatenate([vals, jnp.full((pad,), NEG_INF, vals.dtype)]) if pad else vals
+    bv, bi = lax.top_k(v.reshape(nb, blk), k)           # [nb, k] each
+    cand_i = (bi + (jnp.arange(nb) * blk)[:, None]).reshape(-1)
+    fv, fi = lax.top_k(bv.reshape(-1), k)
+    return fv, cand_i[fi]
+
+
+def sample_balanced(key, labels, num_samples: int, positive_fraction: float,
+                    approx: bool = False):
     """Sample a fixed-size minibatch of anchor/proposal indices.
 
     -> (idx [num_samples], is_pos [num_samples], take [num_samples]): exactly
@@ -126,21 +269,30 @@ def sample_balanced(key, labels, num_samples: int, positive_fraction: float):
         n_pos = min(#positives, num_samples * positive_fraction)
         n_neg = min(#negatives, num_samples - n_pos)
     so callers' `sum(take)` normalizer equals torchvision's
-    `sampled_inds.numel()`. Random priority via uniform noise + top_k
-    (the fixed-shape replacement for torch.randperm subsampling).
+    `sampled_inds.numel()`. Random priority via uniform noise + top-k
+    (the fixed-shape replacement for torch.randperm subsampling); one
+    uniform draw serves both classes — their supports are disjoint.
+
+    `approx=True` selects `lax.approx_max_k` for the priority top-ks on
+    large inputs (the 2.4M-anchor RPN path) — the TPU-native partial
+    reduction, ~2x the exact blocked top-k. Because priorities are iid
+    uniform the result is still a uniform random sample; the one semantic
+    wrinkle is ~5% per-element recall, so when positives are scarce n_pos
+    can fall slightly below min(#pos, num*pf) (negatives fill the gap —
+    the total count is unaffected). Same trade-off and escape hatch as
+    proposal selection: DetectionConfig.exact_topk=True restores exact.
     """
-    kp, kn = jax.random.split(key)
     n = labels.shape[0]
     n_pos_want = int(num_samples * positive_fraction)
     pos_mask = labels == 1
     neg_mask = labels == 0
 
-    pos_priority = jnp.where(pos_mask, jax.random.uniform(kp, (n,)), NEG_INF)
-    neg_priority = jnp.where(neg_mask, jax.random.uniform(kn, (n,)), NEG_INF)
-    pos_val, pos_idx = lax.top_k(pos_priority, n_pos_want)
+    u = jax.random.uniform(key, (n,))
+    top_k = lax.approx_max_k if (approx and n > 65536) else blocked_top_k
+    pos_val, pos_idx = top_k(jnp.where(pos_mask, u, NEG_INF), n_pos_want)
     pos_take = pos_val > NEG_INF / 2
     n_pos = jnp.sum(pos_take)
-    neg_val, neg_idx = lax.top_k(neg_priority, num_samples)  # over-sample negatives
+    neg_val, neg_idx = top_k(jnp.where(neg_mask, u, NEG_INF), num_samples)  # over-sample negatives
     # negatives fill whatever the positives left open
     neg_needed = num_samples - n_pos
     neg_rank = jnp.arange(num_samples)

@@ -4,10 +4,13 @@ Replaces pytorch_lightning.Trainer (the reference's L5,
 invoked at every task's __main__, e.g.
 /root/reference/src/autoencoder/autoencoder.py:185-193) with a TPU-first loop:
 
-  * one jitted `train_step(params, opt_state, state, lr, mask, batch, rng)`
-    with donated carries — params/optimizer state never leave HBM;
-  * freeze/unfreeze staging as a 0/1 gradient mask *array* pytree (changing
-    the mask at the unfreeze epoch does NOT recompile);
+  * one jitted `train_step(params, opt_state, state, batch, rng)` with
+    donated carries — params/optimizer state never leave HBM;
+  * freeze/unfreeze staging as a STATIC partition: frozen leaves enter the
+    loss under stop_gradient so XLA prunes their whole backward cone (the
+    frozen-encoder roadmap fine-tune measures 2544 vs 690 scenes/s — 3.7× —
+    against computing-then-discarding the gradients, scripts/probe_frozen.py);
+    the unfreeze epoch compiles a second program once (persistent-cached);
   * host work (logging, checkpoints, LR plateau logic) reads only the metrics
     it needs; the step loop is async-dispatch and never blocks on device
     except at epoch boundaries and the log cadence;
@@ -54,6 +57,10 @@ def _on_axon_platform() -> bool:
     return "axon" in os.environ.get("JAX_PLATFORMS", "")
 
 
+# Mask-array helpers: the trainer itself now freezes via a static
+# stop_gradient partition (see _make_train_step); these remain for
+# scripts/probe_fr_crash.py, which reproduces the axon worker crash against
+# the original mask-array step.
 def _tree_ones_mask(params):
     return jax.tree.map(lambda p: jnp.ones((), p.dtype if jnp.issubdtype(p.dtype, jnp.floating) else jnp.float32), params)
 
@@ -192,9 +199,26 @@ class Trainer:
             base = optax.MultiSteps(base, every_k_schedule=self.accumulate_grad_batches)
         return base
 
-    def _make_train_step(self, task, tx):
+    def _make_train_step(self, task, tx, static_mask=None):
+        """One compiled train step, specialized per freeze mask.
+
+        `static_mask` is a pytree of *Python* bools (True = trainable) or
+        None. Frozen leaves enter the loss under `stop_gradient`, so XLA
+        prunes their entire backward cone — the frozen-encoder fine-tune
+        phase measures 3.7× faster than the mask-array alternative that
+        computes the full gradient and multiplies it by zero
+        (scripts/probe_frozen.py: 2544 vs 690 scenes/s at batch 128).
+        Changing the mask (the unfreeze epoch) compiles a second program
+        once, hitting the persistent compilation cache on reruns. Frozen
+        leaves still flow through the optimizer with exact-zero gradients,
+        so Adam moments stay zero, params stay untouched, and resume
+        semantics are unchanged."""
         def grad_fn(params, state, batch, rng):
             def loss_fn(p):
+                if static_mask is not None:
+                    p = jax.tree.map(
+                        lambda leaf, m: leaf if m else jax.lax.stop_gradient(leaf),
+                        p, static_mask)
                 loss, (new_state, metrics) = task.loss(p, state, batch, rng, train=True)
                 return loss, (new_state, metrics)
 
@@ -203,14 +227,13 @@ class Trainer:
             metrics["loss"] = loss
             return grads, new_state, metrics
 
-        def update_fn(params, opt_state, grads, grad_mask):
-            grads = jax.tree.map(lambda g, m: g * m, grads, grad_mask)
+        def update_fn(params, opt_state, grads):
             updates, opt_state = tx.update(grads, opt_state, params)
             return optax.apply_updates(params, updates), opt_state
 
-        def fused(params, opt_state, state, grad_mask, batch, rng):
+        def fused(params, opt_state, state, batch, rng):
             grads, new_state, metrics = grad_fn(params, state, batch, rng)
-            params, opt_state = update_fn(params, opt_state, grads, grad_mask)
+            params, opt_state = update_fn(params, opt_state, grads)
             return params, opt_state, new_state, metrics
 
         # Batches arrive sharded on 'data' under a mesh; params/opt_state keep
@@ -226,9 +249,9 @@ class Trainer:
         jg = jax.jit(grad_fn)
         ju = jax.jit(update_fn, donate_argnums=(2,))
 
-        def split(params, opt_state, state, grad_mask, batch, rng):
+        def split(params, opt_state, state, batch, rng):
             grads, new_state, metrics = jg(params, state, batch, rng)
-            params, opt_state = ju(params, opt_state, grads, grad_mask)
+            params, opt_state = ju(params, opt_state, grads)
             return params, opt_state, new_state, metrics
 
         split._grad_jit = jg  # exposed for the cost-analysis fallback
@@ -243,7 +266,7 @@ class Trainer:
         try:
             target = getattr(train_step, "_grad_jit", None)
             if target is not None:
-                params, opt_state, state, grad_mask, batch, rng = args
+                params, opt_state, state, batch, rng = args
                 lowered = target.lower(params, state, batch, rng)
             elif hasattr(train_step, "lower"):
                 lowered = train_step.lower(*args)
@@ -345,7 +368,9 @@ class Trainer:
             state = jax.tree.map(lambda x: jax.device_put(x, rep), state)
             opt_state = tx.init(params)
 
-        train_step = self._make_train_step(task, tx)
+        # train steps are built per freeze-mask signature (frozen stage +
+        # unfrozen stage = two compiled programs max; see _make_train_step)
+        step_cache: dict = {}
         val_step = self._make_val_step(task)
 
         best_val = float("inf")
@@ -375,11 +400,11 @@ class Trainer:
         for epoch in range(start_epoch, self.max_epochs):
             task.current_epoch = epoch
             bool_mask = task.freeze_mask(params, epoch)
-            grad_mask = (
-                _tree_ones_mask(params)
-                if bool_mask is None
-                else _bool_mask_to_arrays(params, bool_mask)
-            )
+            sig = None if bool_mask is None else tuple(
+                bool(b) for b in jax.tree.leaves(bool_mask))
+            train_step = step_cache.get(sig)
+            if train_step is None:
+                train_step = step_cache[sig] = self._make_train_step(task, tx, bool_mask)
 
             # ---- train epoch ----
             loader = task.train_loader()
@@ -418,7 +443,7 @@ class Trainer:
                     break
                 rng, step_rng = jax.random.split(rng)
                 params, opt_state, state, metrics = train_step(
-                    params, opt_state, state, grad_mask, batch, step_rng
+                    params, opt_state, state, batch, step_rng
                 )
                 bs = jax.tree.leaves(batch)[0].shape[0]
                 n_scenes += bs
@@ -443,7 +468,7 @@ class Trainer:
                     if not os.environ.get("DD_NO_COST_ANALYSIS"):
                         self._log_cost_analysis(
                             train_step, logger,
-                            (params, opt_state, state, grad_mask, batch, step_rng),
+                            (params, opt_state, state, batch, step_rng),
                         )
                 # periodic image logging (reference: every --output_img_freq
                 # batches, e.g. autoencoder.py:87-88); runs eagerly off the

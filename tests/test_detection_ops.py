@@ -185,6 +185,87 @@ def test_match_anchors_force_match_low_quality():
     assert np.asarray(idx)[0] == 0
 
 
+def test_match_anchors_blocked_equals_sequential():
+    """The blocked (lax.map over anchor blocks) matcher must reproduce the
+    per-gt sequential matcher exactly — including argmax tie order, forced
+    low-quality matches, and zero-overlap anchors."""
+    rng = np.random.RandomState(7)
+    anchors = jnp.asarray(_rand_boxes(rng, 500))
+    gt = jnp.asarray(_rand_boxes(rng, 12))
+    valid = jnp.asarray(rng.rand(12) > 0.3)
+
+    def sequential(anchors, gt_boxes, gt_valid, high=0.7, low=0.3):
+        iou = np.asarray(B.pairwise_iou(anchors, gt_boxes))
+        iou = np.where(np.asarray(gt_valid)[None, :], iou, 0.0)
+        best = iou.max(1)
+        bidx = iou.argmax(1)
+        labels = np.where(best >= high, 1, np.where(best < low, 0, -1))
+        gbest = iou.max(0)
+        is_best = (iou >= gbest[None, :] - 1e-7) & (gbest[None, :] > 0) & np.asarray(gt_valid)[None, :]
+        forced = is_best.any(1)
+        forced_gt = is_best.argmax(1)
+        labels = np.where(forced, 1, labels)
+        bidx = np.where(forced & (best <= 0), forced_gt, bidx)
+        return labels, bidx, best
+
+    for block in (64, 100, 500, 4096):  # padded / exact / single-block cases
+        labels, idx, best = D.match_anchors(anchors, gt, valid, block_size=block)
+        el, ei, eb = sequential(anchors, gt, valid)
+        np.testing.assert_array_equal(np.asarray(labels), el)
+        np.testing.assert_array_equal(np.asarray(idx), ei)
+        np.testing.assert_allclose(np.asarray(best), eb, atol=1e-6)
+
+
+def test_match_labels_grid_and_subset_equal_match_anchors():
+    """The grid-factored label path (division-free cross-multiplied
+    thresholds, separable per-gt max) + sampled-subset re-match must
+    reproduce match_anchors on the same grid: labels over all anchors,
+    best_idx over any subset, incl. forced low-quality matches."""
+    rng = np.random.RandomState(11)
+    feat_h, feat_w, stride = 12, 10, 8
+    cells = D.base_anchors(sizes=(16, 32, 64), ratios=(0.5, 1.0, 2.0))
+    anchors = jnp.asarray(D.grid_anchors(feat_h, feat_w, stride, cells))
+    gt = jnp.asarray(_rand_boxes(rng, 9, size=80.0))
+    valid = jnp.asarray(rng.rand(9) > 0.3)
+
+    ref_labels, ref_idx, ref_best = D.match_anchors(anchors, gt, valid, block_size=256)
+    labels, gt_best = D.match_labels_grid(cells, feat_h, feat_w, stride, gt, valid,
+                                          row_block=5)
+    np.testing.assert_array_equal(np.asarray(labels), np.asarray(ref_labels))
+
+    # gt_best must equal the per-gt max of the full IoU matrix
+    iou = np.asarray(B.pairwise_iou(anchors, gt))
+    iou = np.where(np.asarray(valid)[None, :], iou, 0.0)
+    np.testing.assert_allclose(np.asarray(gt_best), iou.max(0), atol=1e-6)
+
+    sub = jnp.asarray(rng.choice(anchors.shape[0], 64, replace=False))
+    got = D.match_subset(anchors[sub], gt, valid, jnp.asarray(iou.max(0)))
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(ref_idx)[np.asarray(sub)])
+
+    # no valid gt -> all labels 0
+    l0, _ = D.match_labels_grid(cells, feat_h, feat_w, stride, gt, jnp.zeros(9, bool))
+    assert (np.asarray(l0) == 0).all()
+
+    # forced low-quality tie: a gt overlapping nothing above threshold still
+    # forces its best anchor(s) positive through the grid path
+    gt1 = jnp.asarray([[3.0, 3.0, 11.0, 11.0]])
+    l1, gb1 = D.match_labels_grid(cells, feat_h, feat_w, stride, gt1, jnp.asarray([True]))
+    rl1, _, _ = D.match_anchors(anchors, gt1, jnp.asarray([True]))
+    np.testing.assert_array_equal(np.asarray(l1), np.asarray(rl1))
+    assert (np.asarray(l1) == 1).sum() >= 1
+
+
+def test_blocked_top_k_exact():
+    rng = np.random.RandomState(3)
+    vals = jnp.asarray(rng.rand(10000).astype(np.float32))
+    for block in (128, 1000, 4096, 100000):
+        v, i = D.blocked_top_k(vals, 50, block_size=block)
+        ev, ei = jax.lax.top_k(vals, 50)
+        np.testing.assert_allclose(np.asarray(v), np.asarray(ev))
+        # values at returned indices must be the values themselves
+        np.testing.assert_allclose(np.asarray(vals)[np.asarray(i)], np.asarray(v))
+
+
 def test_sample_balanced_counts():
     key = jax.random.PRNGKey(0)
     labels = jnp.asarray([1] * 10 + [0] * 100 + [-1] * 50)
