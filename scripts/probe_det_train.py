@@ -63,12 +63,15 @@ def main():
             obj, dl = head.rpn_forward(p["head"], feats)
             if stage == "rpnconv":
                 return jnp.mean(obj ** 2) + jnp.mean(dl ** 2), ns
-            if stage in ("match", "sample"):
+            if stage in ("match", "sample", "objloss", "subset", "dlgather"):
                 from driving_dirty_tpu.ops import detection as det
+                from driving_dirty_tpu.ops import boxes as box_ops
+                from driving_dirty_tpu.nn.detection import RPN_BOX_WEIGHTS
                 cfg = head.cfg
                 cells = jnp.asarray(det.base_anchors(cfg.anchor_sizes, cfg.anchor_ratios))
+                anchors = head.anchors()
 
-                def per_image(key, o, gtb, gtv):
+                def per_image(key, o, d, gtb, gtv):
                     labels, gt_best = det.match_labels_grid(
                         cells, cfg.feat_size, cfg.feat_size, cfg.feat_stride,
                         gtb, gtv, cfg.rpn_fg_thresh, cfg.rpn_bg_thresh)
@@ -77,10 +80,25 @@ def main():
                     idx, is_pos, take = det.sample_balanced(
                         key, labels, cfg.rpn_batch_per_image,
                         cfg.rpn_positive_fraction, approx=not cfg.exact_topk)
-                    return jnp.sum(o[idx] * take)
+                    if stage == "sample":
+                        return jnp.sum(o[idx] * take)
+                    w = take.astype(jnp.float32)
+                    oo = o[idx]
+                    t = is_pos.astype(jnp.float32)
+                    obj_loss = jnp.sum(
+                        w * (jnp.maximum(oo, 0) - oo * t
+                             + jnp.log1p(jnp.exp(-jnp.abs(oo))))
+                    ) / jnp.maximum(jnp.sum(w), 1.0)
+                    if stage == "objloss":
+                        return obj_loss
+                    if stage == "dlgather":
+                        return obj_loss + 1e-20 * jnp.sum(d[idx])
+                    match_sub = det.match_subset(anchors[idx], gtb, gtv, gt_best)
+                    targets = box_ops.encode(gtb[match_sub], anchors[idx], RPN_BOX_WEIGHTS)
+                    return obj_loss + 1e-20 * jnp.sum(targets)
 
                 keys = jax.random.split(k_rpn, obj.shape[0])
-                v = jax.vmap(per_image)(keys, obj, gt_boxes, gt_valid)
+                v = jax.vmap(per_image)(keys, obj, dl, gt_boxes, gt_valid)
                 # 1e-20 (not 0.0) so XLA cannot constant-fold the stage away
                 return jnp.mean(obj ** 2) + jnp.mean(dl ** 2) + 1e-20 * jnp.sum(
                     v.astype(jnp.float32)), ns

@@ -69,6 +69,24 @@ def test_roadmap_frozen_encoder_params_unchanged(data_dir, ae_ckpt, tmp_path):
     )
 
 
+def test_roadmap_unfreeze_boundary_updates_encoder(data_dir, ae_ckpt, tmp_path):
+    """Crossing --unfreeze_epoch_no must switch to the unfrozen compiled step
+    (trainer builds one program per freeze stage): after the boundary the
+    encoder params MOVE, while the frozen epoch left them bit-identical."""
+    task = RoadMapBCEv2(dict(link=data_dir, pretrained_path=ae_ckpt,
+                             unfreeze_epoch_no=1, **TINY_RM))
+    params0, _ = task.init(jax.random.PRNGKey(0))
+    enc0 = jax.tree.map(np.asarray, params0["encoder"])
+    trainer = Trainer(max_epochs=2, default_root_dir=str(tmp_path / "logs"),
+                      limit_train_batches=2, limit_val_batches=0,
+                      enable_progress_bar=False)
+    result = trainer.fit(task)
+    enc1 = jax.tree.leaves(jax.tree.map(np.asarray, result.params["encoder"]))
+    moved = any(not np.array_equal(a, b)
+                for a, b in zip(jax.tree.leaves(enc0), enc1))
+    assert moved  # epoch 1 ran the unfrozen program and updated the encoder
+
+
 def test_roadmap_mse_variant_loss(data_dir, ae_ckpt):
     task = RoadMap(dict(link=data_dir, pretrained_path=ae_ckpt, **TINY_RM))
     params, state = task.init(jax.random.PRNGKey(0))
