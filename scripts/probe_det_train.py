@@ -63,7 +63,8 @@ def main():
             obj, dl = head.rpn_forward(p["head"], feats)
             if stage == "rpnconv":
                 return jnp.mean(obj ** 2) + jnp.mean(dl ** 2), ns
-            if stage in ("match", "sample", "objloss", "subset", "dlgather"):
+            if stage in ("match", "sample", "objloss", "subset", "dlgather",
+                         "dlsg", "dldense", "dlgrid"):
                 from driving_dirty_tpu.ops import detection as det
                 from driving_dirty_tpu.ops import boxes as box_ops
                 from driving_dirty_tpu.nn.detection import RPN_BOX_WEIGHTS
@@ -93,6 +94,31 @@ def main():
                         return obj_loss
                     if stage == "dlgather":
                         return obj_loss + 1e-20 * jnp.sum(d[idx])
+                    if stage == "dlsg":
+                        # forward-only gather: is the cost in the gather or
+                        # in d's backward once idx touches it?
+                        return obj_loss + 1e-20 * jnp.sum(
+                            jax.lax.stop_gradient(d)[idx])
+                    if stage == "dlgrid":
+                        # conv-native-layout gather: rows of [HW, A*4] by cell,
+                        # then the per-row anchor-type 4-slice. The [N, 4] view
+                        # tiles incompatibly with the conv's [HW, 60] output,
+                        # so d[idx] forces full relayouts fwd AND bwd; this
+                        # form gathers/scatters in the conv's own tiling.
+                        a_n = d.shape[0] // (cfg.feat_size * cfg.feat_size)
+                        dgrid = d.reshape(cfg.feat_size * cfg.feat_size, a_n * 4)
+                        cell = idx // a_n
+                        atype = idx % a_n
+                        rows = dgrid[cell]                       # [S, A*4]
+                        cols = atype[:, None] * 4 + jnp.arange(4)[None, :]
+                        sub = jnp.take_along_axis(rows, cols, axis=1)
+                        return obj_loss + 1e-20 * jnp.sum(sub)
+                    if stage == "dldense":
+                        # gather-free: dense 0/1 row mask (no grad through the
+                        # scatter), reduce fuses with the conv epilogue
+                        wd = jnp.zeros((d.shape[0],), jnp.float32).at[idx].add(
+                            jax.lax.stop_gradient(w))
+                        return obj_loss + 1e-20 * jnp.sum(d * wd[:, None])
                     match_sub = det.match_subset(anchors[idx], gtb, gtv, gt_best)
                     targets = box_ops.encode(gtb[match_sub], anchors[idx], RPN_BOX_WEIGHTS)
                     return obj_loss + 1e-20 * jnp.sum(targets)
