@@ -149,7 +149,13 @@ class FasterRCNNHead:
                 score, idx = jax.lax.top_k(obj, k_pre)
             else:
                 score, idx = jax.lax.approx_max_k(obj, k_pre)
-            boxes = box_ops.decode(dl[idx], anchors[idx], RPN_BOX_WEIGHTS)
+            # gather the k_pre delta rows in the conv-native [HW, A*4] tiling
+            # instead of through the flat [N, 4] view — the flat-view gather
+            # relayouts the whole 2.4M-row tensor first (see rpn_loss)
+            a_n = cfg.num_anchors_per_cell
+            cols = (idx % a_n)[:, None] * 4 + jnp.arange(4, dtype=idx.dtype)[None, :]
+            d_sel = jnp.take_along_axis(dl.reshape(-1, a_n * 4)[idx // a_n], cols, axis=1)
+            boxes = box_ops.decode(d_sel, anchors[idx], RPN_BOX_WEIGHTS)
             boxes = box_ops.clip_to_image(boxes, cfg.image_size)
             # drop degenerate boxes (torchvision removes min_size < 1e-3)
             wh_ok = (boxes[:, 2] - boxes[:, 0] > 1e-3) & (boxes[:, 3] - boxes[:, 1] > 1e-3)
@@ -201,8 +207,22 @@ class FasterRCNNHead:
                 key, labels, cfg.rpn_batch_per_image, cfg.rpn_positive_fraction,
                 approx=not cfg.exact_topk,
             )
+            # Gather the sampled logits/deltas in the conv's NATIVE tiling:
+            # obj/dl arrive as flat [N(,4)] views of [Hf,Wf,A(*4)] conv
+            # outputs, and a row gather through the flat [N,4] view forces
+            # XLA to relayout the full 2.4M-row tensor forward AND backward
+            # (~70 ms of a 310 ms batch-16 train step). Reshaping back to
+            # [HW, A(*4)] — free, XLA cancels it against rpn_forward's
+            # reshape — and gathering rows-by-cell + take_along_axis by
+            # anchor type keeps the conv tiling end to end (~9 ms;
+            # scripts/probe_det_train.py dlgather vs dlgrid stages,
+            # scripts/probe_scatter.py shows the scatter-add itself is cheap).
+            a_n = cfg.num_anchors_per_cell
+            cell = idx // a_n
+            atype = idx % a_n
             w = take.astype(jnp.float32)
-            o = obj[idx]
+            o = jnp.take_along_axis(
+                obj.reshape(-1, a_n)[cell], atype[:, None], axis=1)[:, 0]
             t = is_pos.astype(jnp.float32)
             obj_loss = jnp.sum(
                 w * (jnp.maximum(o, 0) - o * t + jnp.log1p(jnp.exp(-jnp.abs(o))))
@@ -210,9 +230,11 @@ class FasterRCNNHead:
             match_sub = det.match_subset(anchors[idx], gtb, gtv, gt_best_iou)
             matched_gt = gtb[match_sub]
             targets = box_ops.encode(matched_gt, anchors[idx], RPN_BOX_WEIGHTS)
+            cols = atype[:, None] * 4 + jnp.arange(4, dtype=idx.dtype)[None, :]
+            d_sel = jnp.take_along_axis(dl.reshape(-1, a_n * 4)[cell], cols, axis=1)
             pw = is_pos.astype(jnp.float32)[:, None]
             reg_loss = jnp.sum(
-                pw * box_ops.smooth_l1(dl[idx] - targets, beta=1.0 / 9.0)
+                pw * box_ops.smooth_l1(d_sel - targets, beta=1.0 / 9.0)
             ) / jnp.maximum(jnp.sum(w), 1.0)
             return obj_loss, reg_loss
 
