@@ -191,14 +191,24 @@ def match_labels_grid(
     iou_best = jnp.where(gt_valid[None, :], iou_best, 0.0)
     gt_best_iou = jnp.max(iou_best, axis=0)                                   # [G]
 
-    # cross-multiplied threshold tables; +inf disables invalid/degenerate gts
+    # Cross-multiplied threshold tables, normalized so the big tensor is
+    # compared DIRECTLY against a per-(A, G) constant:
+    #   iou >= t  <=>  inter * (1 + t) >= t * s_ag  <=>  inter >= t*s_ag/(1+t)
+    # (1 + t > 0 always; divisions happen on the tiny [A, G] tables only).
+    # The hi and forced tests both produce label 1, so they collapse into
+    # one reduction against the elementwise-min threshold: the virtual
+    # [rb, W, A, G] inter feeds 1 multiply + 2 compare-reduces instead of
+    # 4 multiplies + 3 compare-reduces (~2x less VPU work on the only
+    # O(N*G) object; +inf disables invalid/degenerate gts).
     ok = gt_valid[None, :] & (s_ag > 0)
     inf = jnp.asarray(jnp.inf, jnp.float32)
-    r_hi = jnp.where(ok, high_thresh * s_ag, inf)
-    r_lo = jnp.where(ok, low_thresh * s_ag, inf)
+    q_hi = jnp.where(ok, high_thresh / (1.0 + high_thresh) * s_ag, inf)
+    q_lo = jnp.where(ok, low_thresh / (1.0 + low_thresh) * s_ag, inf)
     t = gt_best_iou - 1e-7
-    r_f = jnp.where(ok & (gt_best_iou > 0)[None, :], t[None, :] * s_ag, inf)
-    c_f = 1.0 + t                                                             # [G]
+    q_f = jnp.where(
+        ok & (gt_best_iou > 0)[None, :], (t / (1.0 + t))[None, :] * s_ag, inf
+    )
+    q_pos = jnp.minimum(q_hi, q_f)                                            # [A, G]
 
     nb = -(-feat_h // row_block)
     pad = nb * row_block - feat_h
@@ -206,12 +216,11 @@ def match_labels_grid(
     oy_blocks = oy_p.reshape(nb, row_block, a_n, -1)
 
     def rows(oy_blk):
-        # inter [rb, W, A, G]: virtual — feeds three same-axis reductions
+        # inter [rb, W, A, G]: virtual — feeds two same-axis reductions
         inter = oy_blk[:, None, :, :] * ox[None, :, :, :]
-        hi = jnp.any(inter * (1.0 + high_thresh) >= r_hi, axis=-1)
-        nn = jnp.any(inter * (1.0 + low_thresh) >= r_lo, axis=-1)
-        fc = jnp.any(inter * c_f >= r_f, axis=-1)
-        return jnp.where(hi | fc, 1, jnp.where(nn, -1, 0))
+        pos = jnp.any(inter >= q_pos, axis=-1)
+        nn = jnp.any(inter >= q_lo, axis=-1)
+        return jnp.where(pos, 1, jnp.where(nn, -1, 0))
 
     labels = lax.map(rows, oy_blocks).reshape(-1)[: feat_h * feat_w * a_n]
     labels = jnp.where(~jnp.any(gt_valid), 0, labels)
