@@ -471,7 +471,7 @@ def _interp_matrix(coords, size: int, output_size: int, s: int):
     return m.reshape(r, output_size, s, size).mean(axis=2)
 
 
-_ROI_MATMUL_CHUNK = 256  # rois per chunk: bounds the [chunk, out, W, C] temp
+_ROI_MATMUL_CHUNK = 512  # rois per chunk: bounds the [chunk, out, W, C] temp
 
 
 def _roi_align_fwd_impl(features, rois, output_size, spatial_scale,
@@ -502,13 +502,17 @@ def _roi_align_fwd_impl(features, rois, output_size, spatial_scale,
 
     def run(args):
         by_c, bx_c = args  # [chunk, out, H], [chunk, out, W]
+        # t in features.dtype (bf16 on the TPU path): each row of by has two
+        # nonzeros, so the contraction is a 2-term lerp of already-bf16 rows —
+        # f32 accumulation buys nothing and the [chunk, out, W, C] temp is the
+        # op's dominant HBM traffic
         t = lax.dot_general(
             by_c, flat, (((2,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
+            preferred_element_type=features.dtype,
         ).reshape(chunk, output_size, W, C)
         # contract W with per-roi batch: [r, J, W] x [r, I, W, C] -> [r, J, I, C]
         out = lax.dot_general(
-            bx_c, t.astype(features.dtype), (((2,), (2,)), ((0,), (0,))),
+            bx_c, t, (((2,), (2,)), ((0,), (0,))),
             preferred_element_type=jnp.float32,
         )
         return jnp.transpose(out, (0, 2, 1, 3))  # [r, I, J, C]
@@ -554,12 +558,19 @@ def _roi_sample_coords(feat_shape, rois, output_size, spatial_scale,
 def _roi_align_bwd(output_size, spatial_scale, sampling_ratio, aligned, res, g):
     """Scatter-free RoIAlign backward as dense separable matmuls.
 
-    Bilinear sampling is separable: S_r = Ry_r @ F @ Rx_r^T with interpolation
-    matrices Ry_r [P, H], Rx_r [Q, W] (two nonzeros per row). Hence
-    dF = sum_r Ry_r^T @ dS_r @ Rx_r — pure MXU matmuls, accumulated over roi
-    chunks. This replaces the autodiff scatter-add, which (a) crashes the
-    tunneled TPU worker for some inputs and (b) serializes badly on TPU; the
-    einsum form is the hardware-native formulation.
+    The forward is out_r = By_r @ F @ Bx_r^T with the BIN-level interpolation
+    matrices from `_interp_matrix` (sample-average folded in), so
+    dF = sum_r By_r^T @ g_r @ Bx_r — pure MXU matmuls. This replaces the
+    autodiff scatter-add, which (a) crashes the tunneled TPU worker for some
+    inputs and (b) serializes badly on TPU.
+
+    Using the same `_interp_matrix` as the forward (rather than re-deriving
+    sample-level tent weights) halves the FLOPs (P = out, not out*s) and
+    keeps fwd/bwd exactly adjoint at clipped image-edge coordinates, where
+    the tent at the last row sums to 1-frac instead of 1. The small dot
+    contracts the q axis per roi; the big dot then contracts (roi, p)
+    jointly — one [H, chunk*out] x [chunk*out, W*C] matmul per chunk, no
+    per-chunk accumulator traffic inside a scan.
     """
     token, rois = res
     feat_shape = token.shape[1:]
@@ -567,36 +578,47 @@ def _roi_align_bwd(output_size, spatial_scale, sampling_ratio, aligned, res, g):
     H, W, C = feat_shape
     s = sampling_ratio
     R = rois.shape[0]
-    P = output_size * s
+    P = output_size
     ys, xs = _roi_sample_coords(feat_shape, rois, output_size, spatial_scale, s, aligned)
-    # dense interpolation weights: tent function around each sample coordinate
-    hh = jnp.arange(H, dtype=ys.dtype)
-    ww = jnp.arange(W, dtype=xs.dtype)
-    Ry = jnp.clip(1.0 - jnp.abs(ys[:, :, None] - hh[None, None, :]), 0.0, 1.0)  # [R, P, H]
-    Rx = jnp.clip(1.0 - jnp.abs(xs[:, :, None] - ww[None, None, :]), 0.0, 1.0)  # [R, P, W]
-    gs = jnp.broadcast_to(
-        g[:, :, None, :, None, :] / (s * s),
-        (R, output_size, s, output_size, s, C),
-    ).reshape(R, P, P, C).astype(jnp.float32)
+    by = _interp_matrix(ys, H, output_size, s).astype(feat_dtype)  # [R, P, H]
+    bx = _interp_matrix(xs, W, output_size, s).astype(feat_dtype)  # [R, P, W]
+    gc = g.astype(feat_dtype)                                      # [R, P, P, C]
 
-    chunk = max(1, min(R, 64))
+    # the backward's temps are P/s-smaller than the forward's, so one chunk
+    # (no lax.map round trip) is fine at training/eval roi counts
+    chunk = min(R, 4 * _ROI_MATMUL_CHUNK)
     n_chunks = (R + chunk - 1) // chunk
     pad = n_chunks * chunk - R
     if pad:
-        Ry = jnp.concatenate([Ry, jnp.zeros((pad, P, H), Ry.dtype)])
-        Rx = jnp.concatenate([Rx, jnp.zeros((pad, P, W), Rx.dtype)])
-        gs = jnp.concatenate([gs, jnp.zeros((pad, P, P, C), gs.dtype)])
-    Ry = Ry.reshape(n_chunks, chunk, P, H)
-    Rx = Rx.reshape(n_chunks, chunk, P, W)
-    gs = gs.reshape(n_chunks, chunk, P, P, C)
+        by = jnp.concatenate([by, jnp.zeros((pad, P, H), by.dtype)])
+        bx = jnp.concatenate([bx, jnp.zeros((pad, P, W), bx.dtype)])
+        gc = jnp.concatenate([gc, jnp.zeros((pad, P, P, C), gc.dtype)])
 
-    def body(acc, args):
-        ry, rx, gg = args
-        t = jnp.einsum("rph,rpqc->rhqc", ry, gg, preferred_element_type=jnp.float32)
-        acc = acc + jnp.einsum("rhqc,rqw->hwc", t, rx, preferred_element_type=jnp.float32)
-        return acc, None
+    def run(args):
+        by_c, bx_c, g_c = args
+        # u[r,p,c,w] = sum_q g[r,p,q,c] * bx[r,q,w]   (tiny: q = out bins);
+        # consumed below in this natural output layout — transposing u would
+        # relayout the op's biggest temp
+        u = lax.dot_general(
+            g_c, bx_c, (((2,), (1,)), ((0,), (0,))),
+            preferred_element_type=feat_dtype,
+        )  # [r, P, C, W]
+        # dF[h, (c,w)] = sum_{r,p} by[r,p,h] * u[r,p,c,w]
+        return lax.dot_general(
+            by_c.reshape(chunk * P, H), u.reshape(chunk * P, C * W),
+            (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # [H, C*W]
 
-    dF, _ = lax.scan(body, jnp.zeros((H, W, C), jnp.float32), (Ry, Rx, gs))
+    if n_chunks == 1:
+        dF = run((by, bx, gc))
+    else:
+        parts = lax.map(run, (by.reshape(n_chunks, chunk, P, H),
+                              bx.reshape(n_chunks, chunk, P, W),
+                              gc.reshape(n_chunks, chunk, P, P, C)))
+        dF = jnp.sum(parts, axis=0)
+    # transpose the small f32 output [H, C, W] -> [H, W, C]
+    dF = jnp.transpose(dF.reshape(H, C, W), (0, 2, 1))
     return dF.astype(feat_dtype), jnp.zeros_like(rois)
 
 

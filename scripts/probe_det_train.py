@@ -82,7 +82,11 @@ def main():
                         key, labels, cfg.rpn_batch_per_image,
                         cfg.rpn_positive_fraction, approx=not cfg.exact_topk)
                     if stage == "sample":
-                        return jnp.sum(o[idx] * take)
+                        # gather-free digest: a flat-view o[idx] here would
+                        # add the relayouted gather+scatter the real rpn_loss
+                        # deliberately avoids (see dlgrid), misattributing
+                        # ~28 ms to sampling
+                        return jnp.sum(idx * take) + jnp.sum(is_pos)
                     w = take.astype(jnp.float32)
                     oo = o[idx]
                     t = is_pos.astype(jnp.float32)
@@ -136,6 +140,17 @@ def main():
             sampled = head.sample_proposals(k_roi, rois, rv, gt_boxes, gt_valid, gt_labels)
             if stage == "proposals":
                 return loss_obj + loss_rpn_reg + jnp.mean(sampled["rois"]) * 0.0, ns
+            if stage in ("alignfwd", "alignbwd"):
+                from driving_dirty_tpu.ops import detection as det
+                cfg = head.cfg
+                f_in = (jax.lax.stop_gradient(feats) if stage == "alignfwd"
+                        else feats)
+                pooled = det.batched_roi_align(
+                    f_in, sampled["rois"], output_size=cfg.roi_output_size,
+                    spatial_scale=1.0 / cfg.feat_stride,
+                    sampling_ratio=cfg.roi_sampling_ratio)
+                return (loss_obj + loss_rpn_reg
+                        + 1e-20 * jnp.sum(pooled.astype(jnp.float32))), ns
             loss_cls, loss_reg = head.roi_loss(p["head"], feats, sampled)
             return loss_obj + loss_rpn_reg + loss_cls + loss_reg, ns
 
