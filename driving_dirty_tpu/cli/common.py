@@ -91,10 +91,11 @@ def add_trainer_args(parser: argparse.ArgumentParser) -> argparse.ArgumentParser
                    help="ship camera images to the device as raw uint8 and "
                         "normalize on-TPU (4x less host CPU + host->HBM "
                         "traffic); 0 = legacy host-side float32 /255")
-    g.add_argument("--remat", type=int, default=1, choices=[0, 1],
-                   help="rematerialize the encoder in training (default on; "
-                        "needed at large batch — remat=0 OOMs HBM at batch 128 "
-                        "— but worth ~10-27%% at batch<=32)")
+    g.add_argument("--remat", type=int, default=None, choices=[0, 1],
+                   help="rematerialize the encoder in training (default: "
+                        "per-task — on for the panorama models, which OOM HBM "
+                        "at batch 128 without it; off for faster_rcnn, whose "
+                        "800x800 activations fit and gain ~12%% stored)")
     return parser
 
 

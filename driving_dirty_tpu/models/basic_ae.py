@@ -30,7 +30,7 @@ from driving_dirty_tpu.data.pipeline import Loader
 from driving_dirty_tpu.nn.autoencoder import Decoder, Encoder
 from driving_dirty_tpu.ops.stitch import normalize_images, six_to_one_task
 from driving_dirty_tpu.models.precision import Int8TrunkMixin
-from driving_dirty_tpu.train.task import Task, hp
+from driving_dirty_tpu.train.task import Task, hp, hp_opt
 
 
 class BasicAE(Int8TrunkMixin, Task):
@@ -81,7 +81,7 @@ class BasicAE(Int8TrunkMixin, Task):
             p, s, v, train=train, rng=k_enc, fast=fast,
             **self.enc_int8_kwargs(train),
         )
-        if train and hp(self.hparams, "remat", True):
+        if train and hp_opt(self.hparams, "remat", True):
             enc_apply = jax.checkpoint(enc_apply)
         z, se = enc_apply(params["encoder"], state["encoder"], x_masked)
         y_hat, sd = self.decoder.apply(

@@ -31,7 +31,7 @@ from driving_dirty_tpu.nn.detection import DetectionConfig, FasterRCNNHead
 from driving_dirty_tpu.core import layers as L
 from driving_dirty_tpu.ops.coords import corners_to_aabb
 from driving_dirty_tpu.ops.maps import layout_images_as_map
-from driving_dirty_tpu.train.task import Task, hp
+from driving_dirty_tpu.train.task import Task, hp, hp_opt
 
 
 class BBFasterRCNN(Int8TrunkMixin, LabeledDataMixin, Task):
@@ -101,10 +101,12 @@ class BBFasterRCNN(Int8TrunkMixin, LabeledDataMixin, Task):
             fast=(not train) and hp(self.hparams, "fast_conv", False),
             **self.enc_int8_kwargs(train),
         )
-        if train and hp(self.hparams, "remat", True):
-            # as in the roadmap/AE models: recomputing the 800x800 trunk's
-            # lane-padded c1/c2 activations beats storing them for backward
-            # (batch-16 training OOMs 16GB HBM by ~80MB without this)
+        if train and hp_opt(self.hparams, "remat", False):
+            # off by default: storing the 800x800 trunk's c1/c2 activations
+            # fits HBM now that the RoIAlign temps are bin-level bf16
+            # (batch 16: 73.5 -> 82.1 scenes/s; batch 32 fits too), and the
+            # backward skips a full trunk recompute. --remat 1 restores the
+            # low-memory behavior for larger configs.
             enc_apply = jax.checkpoint(enc_apply)
         feats, se = enc_apply(params["encoder"], state["encoder"], x)
         return feats, {"encoder": se}

@@ -29,7 +29,7 @@ from driving_dirty_tpu.models.spatial_bb import _bce_probs
 from driving_dirty_tpu.nn.spatial import BoxesMergingCNN, SpatialMappingCNN
 from driving_dirty_tpu.ops.maps import boxes_to_binary_map
 from driving_dirty_tpu.ops.stitch import normalize_images, wide_stitch
-from driving_dirty_tpu.train.task import Task, hp
+from driving_dirty_tpu.train.task import Task, hp, hp_opt
 
 
 class MultiTask(Int8TrunkMixin, LabeledDataMixin, Task):
@@ -76,7 +76,7 @@ class MultiTask(Int8TrunkMixin, LabeledDataMixin, Task):
             p, s, v, train=train, rng=rng, with_c3=True, fast=fast,
             **self.enc_int8_kwargs(train),
         )
-        if train and hp(self.hparams, "remat", True):
+        if train and hp_opt(self.hparams, "remat", True):
             enc_apply = jax.checkpoint(enc_apply)
         (z, ssr), new_enc_state = enc_apply(params["encoder"], state["encoder"], pano)
         rm_logits = self.rm_head.apply(params["rm_head"], z).reshape(z.shape[0], 800, 800)

@@ -28,7 +28,7 @@ from driving_dirty_tpu.models.labeled_data import LabeledDataMixin, add_labeled_
 from driving_dirty_tpu.models.pretrained import Int8TrunkMixin, init_backbone, load_pretrained_ae
 from driving_dirty_tpu.core import layers as L
 from driving_dirty_tpu.ops.stitch import normalize_images, wide_stitch
-from driving_dirty_tpu.train.task import Task, hp
+from driving_dirty_tpu.train.task import Task, hp, hp_opt
 
 MAP_PIXELS = 800 * 800
 
@@ -72,7 +72,7 @@ class RoadMapBase(Int8TrunkMixin, LabeledDataMixin, Task):
             fused=None if fused is None else bool(fused),
             **self.enc_int8_kwargs(train),
         )
-        if train and hp(self.hparams, "remat", True):
+        if train and hp_opt(self.hparams, "remat", True):
             enc_apply = jax.checkpoint(enc_apply)
         z, se = enc_apply(params["encoder"], state["encoder"], x)
         logits = self.fc1.apply(params["fc1"], z).reshape(z.shape[0], 800, 800)

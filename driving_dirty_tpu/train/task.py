@@ -25,6 +25,13 @@ def hp(hparams, name, default):
     return getattr(hparams, name, default)
 
 
+def hp_opt(hparams, name, default):
+    """Like `hp` but treats a stored None as absent — for flags whose
+    argparse default is None so each task can pick its own default."""
+    v = hp(hparams, name, None)
+    return default if v is None else v
+
+
 def as_namespace(hparams) -> SimpleNamespace:
     if hparams is None:
         return SimpleNamespace()

@@ -22,6 +22,7 @@ def main():
     ap.add_argument("--frozen", action="store_true",
                     help="freeze the encoder (static stop_gradient partition)")
     ap.add_argument("--stages", type=str, default="backbone,rpn,proposals,full")
+    ap.add_argument("--remat", type=int, default=1)
     args = ap.parse_args()
 
     import jax
@@ -44,7 +45,7 @@ def main():
     }
     task = FasterRCNNRoadMap(dict(pretrained_path=None, ae_hidden_dim=128,
                                   ae_latent_dim=64, batch_size=B, precision=16,
-                                  unfreeze_epoch_no=1000))
+                                  unfreeze_epoch_no=1000, remat=bool(args.remat)))
     params, state = task.init(jax.random.PRNGKey(0))
     tx = optax.adam(1e-4)
     static_mask = task.freeze_mask(params, 0) if args.frozen else None
