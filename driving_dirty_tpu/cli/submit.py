@@ -103,19 +103,44 @@ def _strip_flags(argv, value_flags, bare_flags):
     return out
 
 
-def _trial_env(i, n_parallel, devices_per_trial):
+def _is_tpu_host() -> bool:
+    """True when subprocesses will target real TPU chips (exclusive-access
+    hardware that needs explicit pinning), per the same heuristic _trial_env
+    uses to pick its branch."""
+    return not (
+        os.environ.get("JAX_PLATFORMS", "") in ("cpu", "")
+        and "TPU_NAME" not in os.environ
+    )
+
+
+def _detect_tpu_chips() -> int:
+    """Count local TPU chips WITHOUT importing jax (initializing jax in the
+    parent would claim the chips the trial subprocesses need). TPU VMs expose
+    one /dev/accel* node per chip (PCI) or /dev/vfio/<n> per chip (vfio)."""
+    import glob
+
+    n = len(glob.glob("/dev/accel*"))
+    if not n:
+        n = len([p for p in glob.glob("/dev/vfio/*") if p.rsplit("/", 1)[-1].isdigit()])
+    return n
+
+
+def _trial_env(trial_index, slot, devices_per_trial):
     """Per-trial subprocess environment: pin a disjoint device subset.
 
-    TPU VMs: TPU_VISIBLE_DEVICES (comma chip indices) — trial i owns chips
-    [i*k, (i+1)*k). CPU (tests / no accelerator): each subprocess gets its own
-    k-device virtual pool via xla_force_host_platform_device_count (process
-    isolation makes the subsets disjoint by construction)."""
+    TPU VMs: TPU_VISIBLE_DEVICES (comma chip indices) — the trial in
+    concurrency SLOT s owns chips [s*k, (s+1)*k). Pinning is by slot, not
+    trial index: with 12 trials at 4 concurrent, trial 5 reuses the chips of
+    whichever slot freed up, never chips [10,11] of a 8-chip host. CPU
+    (tests / no accelerator): each subprocess gets its own k-device virtual
+    pool via xla_force_host_platform_device_count (process isolation makes
+    the subsets disjoint by construction)."""
     env = os.environ.copy()
-    env["DD_TRIAL_INDEX"] = str(i)
+    env["DD_TRIAL_INDEX"] = str(trial_index)
     if not devices_per_trial:
         return env
     k = devices_per_trial
-    if env.get("JAX_PLATFORMS", "") in ("cpu", "") and "TPU_NAME" not in env:
+    if not _is_tpu_host():
         flags = env.get("XLA_FLAGS", "")
         flags = " ".join(
             t for t in flags.split() if "xla_force_host_platform_device_count" not in t
@@ -123,7 +148,7 @@ def _trial_env(i, n_parallel, devices_per_trial):
         env["XLA_FLAGS"] = (flags + f" --xla_force_host_platform_device_count={k}").strip()
         env.setdefault("JAX_PLATFORMS", "cpu")
     else:
-        env["TPU_VISIBLE_DEVICES"] = ",".join(str(i * k + j) for j in range(k))
+        env["TPU_VISIBLE_DEVICES"] = ",".join(str(slot * k + j) for j in range(k))
     return env
 
 
@@ -171,46 +196,73 @@ def run_trials_concurrent(args, trials, base_argv):
     device subset, logging to <root>/trial_i/trial.log. Returns a summary
     list of dicts (also printed as a table).
     """
+    import queue
     from concurrent.futures import ThreadPoolExecutor
 
     n_par = max(1, args.parallel_trials)
     total_dev = args.gpus if args.gpus else None
-    dev_per_trial = (total_dev // n_par) if total_dev and total_dev >= n_par else total_dev
+    if _is_tpu_host():
+        # TPU chips are exclusive-access: every concurrent trial MUST be
+        # pinned to a disjoint subset or all but the first fail to
+        # initialize. Detect the chip count when --gpus is unset, and never
+        # run more concurrent trials than there are chips.
+        if total_dev is None:
+            total_dev = _detect_tpu_chips() or 1
+        if n_par > total_dev:
+            print(f"[submit] clamping --parallel_trials {n_par} -> {total_dev} "
+                  f"(one chip minimum per trial; {total_dev} chip(s) on this host)")
+            n_par = total_dev
+        dev_per_trial = total_dev // n_par
+    else:
+        # CPU virtual pools: per-process isolation makes subsets disjoint,
+        # so every trial can have the full requested device count
+        dev_per_trial = (total_dev // n_par) if total_dev and total_dev >= n_par else total_dev
     clean = _strip_flags(
         list(base_argv),
         value_flags={"--parallel_trials", "--nb_hopt_trials", "--tt_name",
-                     "--gpus", "--logs_save_path"},
+                     "--gpus", "--logs_save_path", "--on_done_cmd"},
         bare_flags={"--on_cluster", "--single_run", "--emit_commands"},
     )
+    # chips are pinned per concurrency SLOT (returned to this pool when a
+    # trial ends), so trial index may exceed n_par without pinning off-host
+    free_slots: "queue.Queue[int]" = queue.Queue()
+    for s in range(n_par):
+        free_slots.put(s)
 
     def run_one(i_ov):
         i, overrides = i_ov
-        # child recomputes its root as logs_save_path/tt_name, so point those
-        # at <exp_root>/trial_i
-        trial_root = os.path.join(args.default_root_dir, f"trial_{i}")
-        os.makedirs(trial_root, exist_ok=True)
-        cmd = [sys.executable, "-m", "driving_dirty_tpu.cli.submit", *clean,
-               "--single_run", "--logs_save_path", args.default_root_dir,
-               "--tt_name", f"trial_{i}"]
-        if dev_per_trial:
-            cmd += ["--gpus", str(dev_per_trial)]
-        for k, v in overrides.items():
-            cmd += [f"--{k}", str(v)]
-        log_path = os.path.join(trial_root, "trial.log")
-        t0 = time.perf_counter()
-        with open(log_path, "w") as log:
-            proc = subprocess.run(
-                cmd, stdout=log, stderr=subprocess.STDOUT,
-                env=_trial_env(i, n_par, dev_per_trial), cwd=os.getcwd(),
-            )
-        result = {
-            "trial": i,
-            "overrides": overrides,
-            "rc": proc.returncode,
-            "seconds": round(time.perf_counter() - t0, 1),
-            "val_loss": _last_val_loss(trial_root),
-            "log": log_path,
-        }
+        slot = free_slots.get()
+        try:
+            # child recomputes its root as logs_save_path/tt_name, so point
+            # those at <exp_root>/trial_i
+            trial_root = os.path.join(args.default_root_dir, f"trial_{i}")
+            os.makedirs(trial_root, exist_ok=True)
+            cmd = [sys.executable, "-m", "driving_dirty_tpu.cli.submit", *clean,
+                   "--single_run", "--logs_save_path", args.default_root_dir,
+                   "--tt_name", f"trial_{i}"]
+            if dev_per_trial:
+                cmd += ["--gpus", str(dev_per_trial)]
+            for k, v in overrides.items():
+                cmd += [f"--{k}", str(v)]
+            log_path = os.path.join(trial_root, "trial.log")
+            t0 = time.perf_counter()
+            with open(log_path, "w") as log:
+                proc = subprocess.run(
+                    cmd, stdout=log, stderr=subprocess.STDOUT,
+                    env=_trial_env(i, slot, dev_per_trial), cwd=os.getcwd(),
+                )
+            result = {
+                "trial": i,
+                "overrides": overrides,
+                "rc": proc.returncode,
+                "seconds": round(time.perf_counter() - t0, 1),
+                "val_loss": _last_val_loss(trial_root),
+                "log": log_path,
+            }
+        finally:
+            free_slots.put(slot)
+        # --on_done_cmd is stripped from the child argv above, so the parent
+        # is the single notifier — one call per trial, correct trial name
         _notify_done(args, f"trial_{i}", result["rc"], result["val_loss"])
         return result
 

@@ -31,6 +31,7 @@ Properties:
 """
 from __future__ import annotations
 
+import fcntl
 import hashlib
 import json
 import os
@@ -122,23 +123,44 @@ class SampleCache:
         with self._lock:
             if self._mm is not None:
                 return
-            kind, flat = _flatten(item)
-            meta = {
-                "version": 1,
-                "len": len(self.dataset),
-                "kind": kind,
-                "keys": list(flat),
-                "shape": {k: list(v.shape) for k, v in flat.items()},
-                "dtype": {k: v.dtype.str for k, v in flat.items()},
-                "store_dtype": {
-                    k: ("|u1" if k in self.store_uint8 and v.dtype.kind == "f" else v.dtype.str)
-                    for k, v in flat.items()
-                },
-            }
-            self._open(meta, mode="w+")
-            # meta written last: a crash mid-create leaves no meta -> rebuilt
-            with open(os.path.join(self.dir, _META), "w") as f:
-                json.dump(meta, f)
+            # Cross-process guard: concurrent trials (submit --parallel_trials)
+            # share one cache dir, and two processes cold-starting against an
+            # empty cache would otherwise BOTH run open_memmap(mode="w+") —
+            # truncating files the other already mapped and is writing (rows
+            # silently zeroed, or SIGBUS on a write landing between truncate
+            # and re-extension). An exclusive flock serializes creation, and
+            # the meta re-check under the lock attaches (r+) to a cache a
+            # sibling just created instead of clobbering it.
+            meta_path = os.path.join(self.dir, _META)
+            with open(os.path.join(self.dir, ".init.lock"), "w") as lf:
+                fcntl.flock(lf, fcntl.LOCK_EX)
+                try:
+                    if os.path.exists(meta_path):
+                        with open(meta_path) as f:
+                            meta = json.load(f)
+                        self._open(meta, mode="r+")
+                        return
+                    kind, flat = _flatten(item)
+                    meta = {
+                        "version": 1,
+                        "len": len(self.dataset),
+                        "kind": kind,
+                        "keys": list(flat),
+                        "shape": {k: list(v.shape) for k, v in flat.items()},
+                        "dtype": {k: v.dtype.str for k, v in flat.items()},
+                        "store_dtype": {
+                            k: ("|u1" if k in self.store_uint8 and v.dtype.kind == "f" else v.dtype.str)
+                            for k, v in flat.items()
+                        },
+                    }
+                    self._open(meta, mode="w+")
+                    # meta written last (still under the lock): a crash
+                    # mid-create leaves no meta -> rebuilt; a sibling never
+                    # sees meta before the files are fully sized
+                    with open(meta_path, "w") as f:
+                        json.dump(meta, f)
+                finally:
+                    fcntl.flock(lf, fcntl.LOCK_UN)
 
     def _write(self, index, item):
         _, flat = _flatten(item)

@@ -195,7 +195,9 @@ class BBFasterRCNN(Int8TrunkMixin, LabeledDataMixin, Task):
             if len(gt_j) == 0:
                 continue
             scores.append(float(ats_bounding_boxes(boxes_m[j][valid[j]], gt_j)))
-        return {"val_ats": float(np.mean(scores))} if scores else {}
+        # (value, weight): the mean covers only images with GT boxes, so the
+        # trainer must weight this batch by that count — not the batch size
+        return {"val_ats": (float(np.mean(scores)), float(len(scores)))} if scores else {}
 
     # --- optimization ----------------------------------------------------
     def learning_rate(self):

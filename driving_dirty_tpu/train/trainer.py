@@ -509,14 +509,20 @@ class Trainer:
                     )
                 if self._preempted:
                     reason = stop_reason or "preemption signal"
-                    print(f"[{task.name}] {reason}: checkpoint saved, stopping")
+                    saved = "checkpoint saved, " if self.enable_checkpointing else ""
+                    print(f"[{task.name}] {reason}: {saved}stopping")
                     logger.close()
                     if self._ckpt_writer is not None:
                         self._ckpt_writer.close()
                         self._ckpt_writer = None
+                    # only report a last.ckpt that was actually written: with
+                    # checkpointing disabled, a resubmit wrapper trusting this
+                    # path would crash on (or silently restart from) a missing
+                    # file
+                    last = (os.path.join(run_dir, "last.ckpt")
+                            if self.enable_checkpointing else last_path)
                     return FitResult(
-                        params, state, best_val,
-                        best_path, os.path.join(run_dir, "last.ckpt"), scenes_per_sec,
+                        params, state, best_val, best_path, last, scenes_per_sec,
                     )
             if self.profile_dir and profiling:
                 jax.profiler.stop_trace()
@@ -566,20 +572,28 @@ class Trainer:
                         logger.log_scalars({"learning_rate": lr}, self.global_step)
 
             # ---- checkpointing (best tracking runs regardless) ----
-            if monitored < best_val:
+            new_best = monitored < best_val
+            if new_best:
                 best_val = monitored
-                if self.enable_checkpointing:
+            if self.enable_checkpointing:
+                ck = (params, state, opt_state)
+                if new_best and (self.donate_buffers or _on_axon_platform()):
+                    # best.ckpt and last.ckpt are identical pytrees at an
+                    # epoch boundary; pull to host ONCE so the eager path in
+                    # _save_ckpt doesn't transfer the full params + BN state +
+                    # Adam moments twice (device_get of host arrays below is
+                    # a no-op)
+                    ck = jax.device_get(ck)
+                meta = {"epoch": epoch, "global_step": self.global_step, "task": task.name}
+                if new_best:
                     best_path = os.path.join(run_dir, "best.ckpt")
                     self._save_ckpt(
-                        best_path, task, params, state, opt_state, rng,
-                        meta={"epoch": epoch, "global_step": self.global_step, "task": task.name},
+                        best_path, task, ck[0], ck[1], ck[2], rng, meta=meta,
                         best_val=best_val, plateau_wait=plateau_wait, lr=lr,
                     )
-            if self.enable_checkpointing:
                 last_path = os.path.join(run_dir, "last.ckpt")
                 self._save_ckpt(
-                    last_path, task, params, state, opt_state, rng,
-                    meta={"epoch": epoch, "global_step": self.global_step, "task": task.name},
+                    last_path, task, ck[0], ck[1], ck[2], rng, meta=meta,
                     best_val=best_val, plateau_wait=plateau_wait, lr=lr,
                 )
 
@@ -599,7 +613,7 @@ class Trainer:
         except NotImplementedError:
             return {}
         sums: dict = {}
-        weights = 0.0
+        wsum: dict = {}
         ndata = int(self.mesh.shape["data"]) if self.mesh is not None else 1
         data_sharding = mesh_lib.batch_sharding(self.mesh) if self.mesh is not None else None
         host_hook = getattr(task, "host_val_metrics", None)
@@ -627,14 +641,22 @@ class Trainer:
             w = float(k)
             for key, v in metrics.items():
                 sums[key] = sums.get(key, 0.0) + float(np.asarray(v)) * w
-            weights += w
+                wsum[key] = wsum.get(key, 0.0) + w
             if host_hook is not None:
                 # host-side (non-jittable) metrics, e.g. the polygon-IoU ATS
                 # box score (reference: compute_ats_bounding_boxes in the val
-                # step, bb_fast_rcnn_w_map.py:139-154)
+                # step, bb_fast_rcnn_w_map.py:139-154). Weights are tracked
+                # PER KEY: a batch where the hook returns nothing (e.g. no
+                # GT boxes) must not dilute the epoch aggregate, and a hook
+                # may return (value, weight) when its mean covers fewer rows
+                # than the batch (e.g. val_ats averages only images with GT).
                 hm = host_hook(params, state, batch, np.asarray(bmask)[:m]) or {}
                 for key, v in hm.items():
-                    sums[key] = sums.get(key, 0.0) + float(v) * w
-        if not weights:
+                    val, hw = v if isinstance(v, tuple) else (v, w)
+                    if hw <= 0:
+                        continue
+                    sums[key] = sums.get(key, 0.0) + float(val) * float(hw)
+                    wsum[key] = wsum.get(key, 0.0) + float(hw)
+        if not wsum:
             return {}
-        return {k: v / weights for k, v in sums.items()}
+        return {k: sums[k] / wsum[k] for k in sums}

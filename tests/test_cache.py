@@ -123,3 +123,24 @@ def test_threaded_loader_over_cache(data_root, tmp_path):
     assert cached.hits > hits_before
     for b1, b2 in zip(e1, e2):
         _tree_equal(b1, b2)
+
+
+def test_concurrent_coldstart_attaches_not_truncates(data_root, tmp_path):
+    """Two SampleCache instances constructed against an EMPTY cache dir (the
+    submit --parallel_trials cold start): the second to hit a miss must
+    ATTACH to the cache the first created — not open_memmap(mode='w+'),
+    which truncates files the first has live mmaps into and zeroes its
+    already-written rows."""
+    ds = UnlabeledDataset(data_root, [0], "sample", samples_per_scene=3, raw_uint8=True)
+    a = SampleCache(ds, str(tmp_path))
+    b = SampleCache(ds, str(tmp_path))  # both see no meta at __init__
+    item0 = a[0]          # a creates the cache and writes row 0
+    assert a.fraction_cached > 0
+    b[1]                  # b's first miss: must attach (r+), not recreate
+    # a's row 0 survived b's init — read back through BOTH instances
+    _tree_equal(a[0], item0)
+    _tree_equal(b[0], item0)
+    assert a.hits >= 1 and b._mm is not None
+    # and every row is visible to both once warm
+    a.warm()
+    assert b.fraction_cached == 1.0

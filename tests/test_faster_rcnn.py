@@ -111,7 +111,11 @@ def test_val_ats_plumbing_gt_roundtrip():
         "valid": batch["box_valid"],
     }
     m = task.host_val_metrics({}, {}, batch, np.ones(b, bool))
-    assert m["val_ats"] == pytest.approx(1.0)
+    # (value, weight): the trainer weights this batch by the number of
+    # images that actually had GT boxes
+    val, w = m["val_ats"]
+    assert val == pytest.approx(1.0)
+    assert w > 0
 
     # and with no predictions, the score is 0 (not missing / NaN)
     task._host_predict = lambda p, s, im, rd: {
@@ -121,7 +125,7 @@ def test_val_ats_plumbing_gt_roundtrip():
         "valid": jnp.zeros((b, max_bb), bool),
     }
     m0 = task.host_val_metrics({}, {}, batch, np.ones(b, bool))
-    assert m0["val_ats"] == pytest.approx(0.0)
+    assert m0["val_ats"][0] == pytest.approx(0.0)
 
 
 def test_faster_rcnn_no_gt_boxes_still_trains():

@@ -35,10 +35,13 @@ def test_strip_flags_pairs_and_eq():
 def test_trial_env_disjoint_tpu_pinning(monkeypatch):
     monkeypatch.setenv("TPU_NAME", "v5e-8")
     monkeypatch.setenv("JAX_PLATFORMS", "tpu")
-    e0 = _trial_env(0, 2, 4)
-    e1 = _trial_env(1, 2, 4)
+    # pinning is by concurrency SLOT, not trial index: trial 5 in slot 1 of
+    # a 2-wide pool reuses chips 4-7, never chips 20-23 of an 8-chip host
+    e0 = _trial_env(0, slot=0, devices_per_trial=4)
+    e1 = _trial_env(5, slot=1, devices_per_trial=4)
     assert e0["TPU_VISIBLE_DEVICES"] == "0,1,2,3"
     assert e1["TPU_VISIBLE_DEVICES"] == "4,5,6,7"
+    assert e1["DD_TRIAL_INDEX"] == "5"
 
 
 def test_two_trial_concurrent_run(data_dir, tmp_path):

@@ -191,3 +191,37 @@ def test_fit_with_accumulation_and_clipping(data_dir, tmp_path):
     after = jax.tree.leaves(result.params)[0]
     assert np.isfinite(result.best_val_loss)
     assert np.any(np.asarray(before) != np.asarray(after))
+
+
+def test_val_host_hook_perkey_weighting(tmp_path):
+    """Host-hook metrics (val_ats) use PER-KEY weights: a batch where the
+    hook returns nothing must not dilute the epoch aggregate, and a
+    (value, weight) return overrides the batch weight (the hook's mean may
+    cover fewer rows than the batch)."""
+    import jax.numpy as jnp
+
+    class FakeTask:
+        name = "fake"
+
+        def val_loader(self):
+            b0 = ({"x": np.zeros((4, 1), np.float32), "i": np.array([0])},
+                  np.ones(4, bool))
+            b1 = ({"x": np.zeros((4, 1), np.float32), "i": np.array([1])},
+                  np.ones(4, bool))
+            return [b0, b1]
+
+        def val_metrics(self, params, state, batch, rng):
+            return {"val_loss": jnp.float32(1.0)}
+
+        def host_val_metrics(self, params, state, batch, bmask):
+            # only the first batch has any GT: mean 0.8 over 2 images
+            return {"val_ats": (0.8, 2.0)} if int(batch["i"][0]) == 0 else {}
+
+    trainer = Trainer(default_root_dir=str(tmp_path), enable_checkpointing=False,
+                      enable_progress_bar=False)
+    task = FakeTask()
+    out = trainer._run_validation(task, trainer._make_val_step(task), {}, {},
+                                  jax.random.PRNGKey(0))
+    assert out["val_loss"] == pytest.approx(1.0)
+    # NOT 0.8 * 2/(2+4) or 0.8/2 — the empty-hook batch contributes no weight
+    assert out["val_ats"] == pytest.approx(0.8)
