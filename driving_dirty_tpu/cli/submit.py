@@ -145,6 +145,12 @@ def _trial_env(trial_index, slot, devices_per_trial):
         flags = " ".join(
             t for t in flags.split() if "xla_force_host_platform_device_count" not in t
         )
+        if "xla_cpu_collective_call_terminate_timeout_seconds" not in flags:
+            # concurrent trials oversubscribe the host; don't let XLA:CPU's
+            # 40 s collective-rendezvous termination kill a slow trial
+            flags += (" --xla_cpu_collective_call_warn_stuck_timeout_seconds=300"
+                      " --xla_cpu_collective_call_terminate_timeout_seconds=3600"
+                      " --xla_cpu_collective_timeout_seconds=3600")
         env["XLA_FLAGS"] = (flags + f" --xla_force_host_platform_device_count={k}").strip()
         env.setdefault("JAX_PLATFORMS", "cpu")
     else:

@@ -8,8 +8,18 @@ import os
 
 os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
+_extra = []
 if "xla_force_host_platform_device_count" not in flags:
-    os.environ["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()
+    _extra.append("--xla_force_host_platform_device_count=8")
+# XLA:CPU aborts the whole process when a collective participant misses the
+# rendezvous by 40 s (default warn=20s/terminate=40s); on a loaded 1-CPU
+# host the thread skew between the 8 virtual devices can exceed that.
+if "xla_cpu_collective_call_terminate_timeout_seconds" not in flags:
+    _extra.append("--xla_cpu_collective_call_warn_stuck_timeout_seconds=300")
+    _extra.append("--xla_cpu_collective_call_terminate_timeout_seconds=3600")
+    _extra.append("--xla_cpu_collective_timeout_seconds=3600")
+if _extra:
+    os.environ["XLA_FLAGS"] = (flags + " " + " ".join(_extra)).strip()
 os.environ.setdefault("JAX_ENABLE_X64", "0")
 
 import jax  # noqa: E402

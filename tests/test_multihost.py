@@ -19,7 +19,14 @@ pytestmark = pytest.mark.heavy  # spawns a 2-process jax.distributed cluster
 
 WORKER = r"""
 import os, sys
-os.environ["XLA_FLAGS"] = "--xla_force_host_platform_device_count=4"
+os.environ["XLA_FLAGS"] = (
+    "--xla_force_host_platform_device_count=4"
+    # don't let XLA:CPU's 40 s rendezvous termination kill the workers when
+    # both processes share one loaded core
+    " --xla_cpu_collective_call_warn_stuck_timeout_seconds=300"
+    " --xla_cpu_collective_call_terminate_timeout_seconds=3600"
+    " --xla_cpu_collective_timeout_seconds=3600"
+)
 os.environ["JAX_PLATFORMS"] = "cpu"
 import jax
 jax.config.update("jax_platforms", "cpu")
