@@ -26,7 +26,6 @@ Reference flags preserved: --model, --tt_name, --tt_description,
 from __future__ import annotations
 
 import argparse
-import itertools
 import json
 import os
 import random
@@ -40,7 +39,7 @@ import numpy as np
 def _registry():
     from driving_dirty_tpu.models.basic_ae import BasicAE
     from driving_dirty_tpu.models.bb_mlp import Boxes
-    from driving_dirty_tpu.models.roadmap import RoadMap, RoadMapBCEv2
+    from driving_dirty_tpu.models.roadmap import RoadMap, RoadMapBCE, RoadMapBCEv2
     from driving_dirty_tpu.models.spatial_bb import BBSpatialModel, BBSpatialRoadMap
 
     from driving_dirty_tpu.models.multitask import MultiTask
@@ -49,6 +48,7 @@ def _registry():
         "basic_ae": BasicAE,
         "roadmap_mse": RoadMap,
         "roadmap_bce": RoadMapBCEv2,
+        "roadmap_bce_v1": RoadMapBCE,  # roadmap_bce_loss.py v1 surface
         "spatial_bb": BBSpatialModel,
         "spatial_rm": BBSpatialRoadMap,
         "bb_mlp": Boxes,
@@ -64,26 +64,19 @@ def _registry():
     return names
 
 
-# Tunable grids per model, mirroring the reference's opt_list(tunable=True)
-# dimensions (e.g. autoencoder.py:166-168, roadmap_bce_v2.py:210-211).
-GRIDS = {
-    "basic_ae": {"latent_dim": [64, 128], "learning_rate": [1e-3, 1e-4, 1e-5]},
-    "roadmap_bce": {"unfreeze_epoch_no": [0, 20]},
-    "roadmap_mse": {"learning_rate": [1e-3, 1e-4, 1e-5]},
-    "spatial_bb": {"learning_rate": [1e-3, 1e-4, 1e-5]},
-    "spatial_rm": {"learning_rate": [1e-3, 1e-4, 1e-5]},
-    "bb_mlp": {"learning_rate": [1e-3, 1e-4, 1e-5]},
-    "faster_rcnn": {"learning_rate": [1e-3, 1e-4, 1e-5]},
-    "faster_rcnn_rm": {"learning_rate": [1e-3, 1e-4, 1e-5], "unfreeze_epoch_no": [0, 10]},
-    "multitask": {"learning_rate": [1e-3, 1e-4], "box_loss_weight": [0.5, 1.0, 2.0]},
-}
-
-
 def grid_trials(model_name, limit):
-    grid = GRIDS.get(model_name, {})
-    keys = sorted(grid)
-    combos = list(itertools.product(*(grid[k] for k in keys))) or [()]
-    return [dict(zip(keys, c)) for c in combos][:limit]
+    """Trial override dicts for a model's tunable grid. The grid dimensions
+    live WITH the models, declared test-tube style via
+    `cli.hyperopt.opt_list(..., options=[...], tunable=True)` /
+    `tune(parser, dest, options)` inside each `add_model_specific_args`
+    (mirroring the reference, e.g. autoencoder.py:166-168,
+    roadmap_bce_v2.py:210-211) — this just collects them off a throwaway
+    parser."""
+    from driving_dirty_tpu.cli.hyperopt import HyperOptArgumentParser
+
+    p = HyperOptArgumentParser(add_help=False)
+    _registry()[model_name].add_model_specific_args(p)
+    return p.grid(limit)
 
 
 def _strip_flags(argv, value_flags, bare_flags):
@@ -297,7 +290,11 @@ def main(argv=None):
         sys.exit(f"unknown --model {ns.model!r}; available: {sorted(registry)}")
     task_cls = registry[ns.model]
 
-    parser = argparse.ArgumentParser(parents=[pre])
+    # HyperOptArgumentParser so the models' opt_list/tune declarations are
+    # collected as grid dimensions (test-tube surface, SURVEY.md §5.6)
+    from driving_dirty_tpu.cli.hyperopt import HyperOptArgumentParser
+
+    parser = HyperOptArgumentParser(parents=[pre])
     parser = add_trainer_args(parser)
     parser = task_cls.add_model_specific_args(parser)
     parser.add_argument("-n", "--tt_name", default="experiment")
@@ -334,7 +331,7 @@ def main(argv=None):
         args.num_nodes = args.nodes
     args.default_root_dir = os.path.join(args.logs_save_path, args.tt_name)
 
-    trials = [{}] if args.single_run else grid_trials(args.model, args.nb_hopt_trials)
+    trials = [{}] if args.single_run else parser.grid(args.nb_hopt_trials)
     if args.parallel_trials and not args.single_run and not args.emit_commands:
         base_argv = list(argv) if argv is not None else sys.argv[1:]
         return run_trials_concurrent(args, trials, base_argv)

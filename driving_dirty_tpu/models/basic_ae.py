@@ -147,11 +147,17 @@ class BasicAE(Int8TrunkMixin, Task):
     # --- CLI -------------------------------------------------------------
     @staticmethod
     def add_model_specific_args(parser):
+        from driving_dirty_tpu.cli.hyperopt import opt_list
+
         # Flags and defaults per autoencoder.py:161-182 (CLI defaults differ
-        # from constructor fallbacks on hidden_dim: 256 vs 128).
+        # from constructor fallbacks on hidden_dim: 256 vs 128). Tunable
+        # grid dimensions declared inline, test-tube opt_list style
+        # (autoencoder.py:163-170); plain parsers just get the argument.
         parser.add_argument("--hidden_dim", type=int, default=256)
-        parser.add_argument("--latent_dim", type=int, default=128)
-        parser.add_argument("--learning_rate", type=float, default=1e-3)
+        opt_list(parser, "--latent_dim", type=int, default=128,
+                 options=[64, 128], tunable=True)
+        opt_list(parser, "--learning_rate", type=float, default=1e-3,
+                 options=[1e-3, 1e-4, 1e-5], tunable=True)
         parser.add_argument("--batch_size", type=int, default=16)
         parser.add_argument("--input_width", type=int, default=306 * 6)
         parser.add_argument("--input_height", type=int, default=256)

@@ -213,7 +213,10 @@ class BBFasterRCNN(Int8TrunkMixin, LabeledDataMixin, Task):
     # --- CLI -------------------------------------------------------------
     @staticmethod
     def add_model_specific_args(parser):
-        parser.add_argument("--learning_rate", type=float, default=1e-3)
+        from driving_dirty_tpu.cli.hyperopt import opt_list
+
+        opt_list(parser, "--learning_rate", type=float, default=1e-3,
+                 options=[1e-3, 1e-4, 1e-5], tunable=True)
         parser.add_argument("--batch_size", type=int, default=6)
         parser.add_argument("--unfreeze_epoch_no", type=int, default=10)
         parser.add_argument("--max_bb", type=int, default=100)
@@ -240,7 +243,10 @@ class FasterRCNNRoadMap(BBFasterRCNN):
 
     @staticmethod
     def add_model_specific_args(parser):
+        from driving_dirty_tpu.cli.hyperopt import tune
+
         BBFasterRCNN.add_model_specific_args(parser)
         # reference CLI defaults differ: output_img_freq 100 (bb_fast_rcnn_w_map.py:353)
         parser.set_defaults(output_img_freq=100)
+        tune(parser, "unfreeze_epoch_no", [0, 10])
         return parser

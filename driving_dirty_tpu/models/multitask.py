@@ -142,10 +142,14 @@ class MultiTask(Int8TrunkMixin, LabeledDataMixin, Task):
     # --- CLI -------------------------------------------------------------
     @staticmethod
     def add_model_specific_args(parser):
-        parser.add_argument("--learning_rate", type=float, default=1e-3)
+        from driving_dirty_tpu.cli.hyperopt import opt_list
+
+        opt_list(parser, "--learning_rate", type=float, default=1e-3,
+                 options=[1e-3, 1e-4], tunable=True)
         parser.add_argument("--batch_size", type=int, default=16)
         parser.add_argument("--unfreeze_epoch_no", type=int, default=20)
-        parser.add_argument("--box_loss_weight", type=float, default=1.0)
+        opt_list(parser, "--box_loss_weight", type=float, default=1.0,
+                 options=[0.5, 1.0, 2.0], tunable=True)
         parser.add_argument("--max_bb", type=int, default=100)
         add_labeled_data_args(parser)
         return parser

@@ -151,6 +151,14 @@ class RoadMap(RoadMapBase):
 
     name = "roadmap_mse"
 
+    @staticmethod
+    def add_model_specific_args(parser):
+        from driving_dirty_tpu.cli.hyperopt import tune
+
+        RoadMapBase.add_model_specific_args(parser)
+        tune(parser, "learning_rate", [1e-3, 1e-4, 1e-5])
+        return parser
+
     def loss(self, params, state, batch, rng, *, train: bool):
         logits, probs, new_state = self.forward(
             params, state, batch["images"], train=train, rng=rng
@@ -210,6 +218,15 @@ class RoadMapBCEv2(RoadMapBCE):
     name = "roadmap_bce"
     ts_on_logits = False
     unfreeze_default = 0  # CLI default (roadmap_bce_v2.py:211)
+
+    @staticmethod
+    def add_model_specific_args(parser):
+        from driving_dirty_tpu.cli.hyperopt import tune
+
+        RoadMapBase.add_model_specific_args(parser)
+        # the v2 grid dimension (roadmap_bce_v2.py:211, opt_list tunable)
+        tune(parser, "unfreeze_epoch_no", [0, 20])
+        return parser
 
     def lr_schedule(self):
         return {"plateau_patience": 10, "factor": 0.1}

@@ -153,7 +153,10 @@ class BBSpatialModel(Int8TrunkMixin, LabeledDataMixin, Task):
     # --- CLI -------------------------------------------------------------
     @staticmethod
     def add_model_specific_args(parser):
-        parser.add_argument("--learning_rate", type=float, default=1e-3)
+        from driving_dirty_tpu.cli.hyperopt import opt_list
+
+        opt_list(parser, "--learning_rate", type=float, default=1e-3,
+                 options=[1e-3, 1e-4, 1e-5], tunable=True)
         parser.add_argument("--batch_size", type=int, default=16)
         parser.add_argument("--unfreeze_epoch_no", type=int, default=20)
         parser.add_argument("--mse_loss", action="store_true", default=False)

@@ -83,7 +83,7 @@ def test_spatial_rm_trains_end_to_end(data_dir, tmp_path):
 
 
 def test_submit_registry_and_grid():
-    from driving_dirty_tpu.cli.submit import GRIDS, _registry, grid_trials
+    from driving_dirty_tpu.cli.submit import _registry, grid_trials
 
     reg = _registry()
     for name in ("basic_ae", "roadmap_mse", "roadmap_bce", "spatial_rm", "bb_mlp"):
@@ -92,6 +92,14 @@ def test_submit_registry_and_grid():
     assert len(trials) == 6  # 2 latent x 3 lr
     assert all("latent_dim" in t for t in trials)
     assert grid_trials("basic_ae", 2) == trials[:2]
+    # grids are declared by the models (opt_list/tune), not a central table
+    assert grid_trials("roadmap_bce", 12) == [
+        {"unfreeze_epoch_no": 0}, {"unfreeze_epoch_no": 20}]
+    assert grid_trials("roadmap_mse", 12) == [
+        {"learning_rate": lr} for lr in (1e-3, 1e-4, 1e-5)]
+    assert len(grid_trials("faster_rcnn_rm", 12)) == 6  # 3 lr x 2 unfreeze
+    assert len(grid_trials("multitask", 12)) == 6  # 2 lr x 3 box_loss_weight
+    assert grid_trials("roadmap_bce_v1", 12) == [{}]  # v1 has no tunables
 
 
 def test_submit_emit_commands(capsys):
