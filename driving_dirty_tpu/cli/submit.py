@@ -277,6 +277,116 @@ def run_trials_concurrent(args, trials, base_argv):
     return results
 
 
+def _slurm_time_to_minutes(t: str) -> float:
+    """Slurm --time strings to minutes: 'D-HH:MM:SS', 'HH:MM:SS', 'MM:SS'
+    (Slurm reads bare 'MM' as minutes and 'MM:SS' as min:sec)."""
+    days = 0
+    if "-" in t:
+        d, t = t.split("-", 1)
+        days = int(d)
+    parts = [int(p) for p in t.split(":")]
+    if len(parts) == 3:
+        h, m, s = parts
+    elif len(parts) == 2:
+        h, (m, s) = 0, parts
+    else:
+        h, m, s = 0, parts[0], 0
+    return days * 1440 + h * 60 + m + s / 60.0
+
+
+def emit_slurm(args, trials, base_argv):
+    """Write one sbatch script per trial + a submit_all.sh driver.
+
+    The TPU-native replacement for test-tube's
+    `SlurmCluster.optimize_parallel_cluster_gpu(nb_trials=12)`
+    (/root/reference/src/submit.py:49-74): each script carries the job
+    resources (walltime/cpus/mem, reference defaults 24h/10/30GB at
+    submit.py:58-66), optional email notify (notify_on_end, submit.py:55),
+    conda env activation (submit.py:57), and the checkpoint-before-walltime
+    resubmit contract (minutes_to_checkpoint_before_walltime=5,
+    submit.py:65): the trial runs with --walltime_minutes set to the Slurm
+    budget so the trainer checkpoints 5 min early and exits; exit code 3
+    (walltime stop) makes the script sbatch itself again, resuming from
+    last.ckpt. `#SBATCH --signal=B:TERM@300` is a second safety net — the
+    trainer's SIGTERM handler checkpoints even if the in-process budget
+    clock drifted.
+    """
+    import shlex
+
+    out_dir = os.path.abspath(args.emit_slurm)
+    os.makedirs(out_dir, exist_ok=True)
+    exp_root = os.path.abspath(args.default_root_dir)
+    wall_min = _slurm_time_to_minutes(args.slurm_time)
+    clean = _strip_flags(
+        list(base_argv),
+        value_flags={"--parallel_trials", "--nb_hopt_trials", "--tt_name",
+                     "--logs_save_path", "--on_done_cmd", "--emit_slurm",
+                     "--slurm_time", "--slurm_cpus", "--slurm_mem",
+                     "--slurm_partition", "--slurm_gres", "--notify_email",
+                     "--conda_env", "--walltime_minutes",
+                     "--resume_from_checkpoint"},
+        bare_flags={"--on_cluster", "--single_run", "--emit_commands"},
+    )
+    task_name = _registry()[args.model].name  # trainer writes <root>/<task.name>/
+    scripts = []
+    for i, overrides in enumerate(trials):
+        trial_root = os.path.join(exp_root, f"trial_{i}")
+        job = f"{args.tt_name}_t{i}"
+        lines = [
+            "#!/bin/bash",
+            f"#SBATCH --job-name={job}",
+            f"#SBATCH --output={trial_root}/slurm-%j.out",
+            f"#SBATCH --time={args.slurm_time}",
+            "#SBATCH --nodes=1",
+            f"#SBATCH --cpus-per-task={args.slurm_cpus}",
+            f"#SBATCH --mem={args.slurm_mem}",
+            "#SBATCH --signal=B:TERM@300",
+        ]
+        if args.slurm_partition:
+            lines.append(f"#SBATCH --partition={args.slurm_partition}")
+        if args.slurm_gres:
+            lines.append(f"#SBATCH --gres={args.slurm_gres}")
+        if args.notify_email:
+            lines += [f"#SBATCH --mail-user={args.notify_email}",
+                      "#SBATCH --mail-type=END,FAIL"]
+        lines.append("")
+        if args.conda_env:
+            lines.append(f"source activate {shlex.quote(args.conda_env)}")
+        cmd = ["python", "-m", "driving_dirty_tpu.cli.submit", *clean,
+               "--single_run", "--logs_save_path", exp_root,
+               "--tt_name", f"trial_{i}",
+               "--walltime_minutes", str(wall_min)]
+        for k, v in overrides.items():
+            cmd += [f"--{k}", str(v)]
+        lines += [
+            f"cd {shlex.quote(os.getcwd())}",
+            f"mkdir -p {shlex.quote(trial_root)}",
+            f"CKPT={shlex.quote(os.path.join(trial_root, task_name, 'last.ckpt'))}",
+            'RESUME=""',
+            '[ -f "$CKPT" ] && RESUME="--resume_from_checkpoint $CKPT"',
+            " ".join(shlex.quote(t) for t in cmd) + " $RESUME",
+            "rc=$?",
+            "if [ $rc -eq 3 ]; then",
+            '  echo "walltime checkpoint reached; resubmitting"',
+            '  sbatch "$0"',
+            "fi",
+            "exit $rc",
+            "",
+        ]
+        path = os.path.join(out_dir, f"trial_{i}.sh")
+        with open(path, "w") as f:
+            f.write("\n".join(lines))
+        os.chmod(path, 0o755)
+        scripts.append(path)
+    driver = os.path.join(out_dir, "submit_all.sh")
+    with open(driver, "w") as f:
+        f.write("#!/bin/bash\n# submit the full grid (one Slurm job per trial)\n"
+                + "".join(f"sbatch {shlex.quote(s)}\n" for s in scripts))
+    os.chmod(driver, 0o755)
+    print(f"wrote {len(scripts)} sbatch scripts + {driver}")
+    return scripts
+
+
 def main(argv=None):
     from driving_dirty_tpu.cli.common import (add_trainer_args, honor_platform_env,
                                               trainer_from_args)
@@ -294,7 +404,15 @@ def main(argv=None):
     # collected as grid dimensions (test-tube surface, SURVEY.md §5.6)
     from driving_dirty_tpu.cli.hyperopt import HyperOptArgumentParser
 
-    parser = HyperOptArgumentParser(parents=[pre])
+    strat = argparse.ArgumentParser(add_help=False)
+    strat.add_argument("--hopt_strategy", default="grid_search",
+                       choices=("grid_search", "random_search"),
+                       help="trial enumeration over the models' tunable "
+                            "dimensions (test-tube HyperOptArgumentParser "
+                            "strategy; reference uses grid_search)")
+    sns, _ = strat.parse_known_args(argv)
+    parser = HyperOptArgumentParser(parents=[pre, strat],
+                                    strategy=sns.hopt_strategy)
     parser = add_trainer_args(parser)
     parser = task_cls.add_model_specific_args(parser)
     parser.add_argument("-n", "--tt_name", default="experiment")
@@ -318,6 +436,24 @@ def main(argv=None):
                         help="max concurrent trial subprocesses; implies the "
                              "--on_cluster runner when > 0 (default with "
                              "--on_cluster: 4)")
+    # Slurm emission (test-tube SlurmCluster analog, reference submit.py:49-74)
+    parser.add_argument("--emit_slurm", type=str, default=None, metavar="DIR",
+                        help="write one sbatch script per trial (+ submit_all.sh) "
+                             "to DIR instead of running; scripts carry walltime-"
+                             "checkpoint resubmit and optional email notify")
+    parser.add_argument("--slurm_time", type=str, default="24:00:00",
+                        help="Slurm --time per trial (reference: 24h)")
+    parser.add_argument("--slurm_cpus", type=int, default=10,
+                        help="cpus-per-task (reference: 10)")
+    parser.add_argument("--slurm_mem", type=str, default="30GB",
+                        help="job memory (reference: 30GB)")
+    parser.add_argument("--slurm_partition", type=str, default=None)
+    parser.add_argument("--slurm_gres", type=str, default=None,
+                        help="e.g. tpu:1 / gpu:k80:1 — site-specific, omitted "
+                             "when unset")
+    parser.add_argument("--notify_email", type=str, default=None,
+                        help="Slurm mail-user for END,FAIL notifications "
+                             "(test-tube notify_on_end, reference submit.py:55)")
     parser.add_argument("--on_done_cmd", type=str, default=None,
                         help="shell command run after each trial with "
                              "DD_TRIAL_NAME/DD_TRIAL_RC/DD_TRIAL_VAL_LOSS in "
@@ -332,6 +468,9 @@ def main(argv=None):
     args.default_root_dir = os.path.join(args.logs_save_path, args.tt_name)
 
     trials = [{}] if args.single_run else parser.grid(args.nb_hopt_trials)
+    if args.emit_slurm:
+        base_argv = list(argv) if argv is not None else sys.argv[1:]
+        return emit_slurm(args, trials, base_argv)
     if args.parallel_trials and not args.single_run and not args.emit_commands:
         base_argv = list(argv) if argv is not None else sys.argv[1:]
         return run_trials_concurrent(args, trials, base_argv)
@@ -346,7 +485,12 @@ def main(argv=None):
         trial_args = argparse.Namespace(**vars(args))
         for k, v in overrides.items():
             setattr(trial_args, k, v)
-        trial_args.default_root_dir = os.path.join(args.default_root_dir, f"trial_{i}")
+        if not args.single_run:
+            # grid mode: one subdir per trial. --single_run uses the root
+            # directly — fan-out parents and emitted sbatch scripts already
+            # pass --tt_name trial_i, and appending another trial_0 here
+            # would double the path (breaking the scripts' resume CKPT path)
+            trial_args.default_root_dir = os.path.join(args.default_root_dir, f"trial_{i}")
         random.seed(trial_args.seed)
         np.random.seed(trial_args.seed)
         task = task_cls(trial_args)
@@ -362,4 +506,10 @@ def main(argv=None):
 
 
 if __name__ == "__main__":
-    main()
+    _results = main()
+    # exit 3 = stopped on the walltime-checkpoint contract; resubmit wrappers
+    # (emit_slurm scripts) requeue on this code and resume from last.ckpt
+    if isinstance(_results, list) and any(
+        "walltime" in (getattr(r, "stop_reason", None) or "") for r in _results
+    ):
+        sys.exit(3)

@@ -79,6 +79,11 @@ class FitResult:
     best_ckpt_path: str | None
     last_ckpt_path: str | None
     scenes_per_sec: float
+    # why fit ended early (None = ran to max_epochs): "walltime budget
+    # reached", "max_steps=N reached", or "preemption signal". The submit CLI
+    # maps walltime stops to process exit code 3 so resubmit wrappers
+    # (cli/submit.py --emit_slurm) know to requeue the job.
+    stop_reason: str | None = None
 
 
 class Trainer:
@@ -359,6 +364,9 @@ class Trainer:
             else:
                 start_epoch = int(meta.get("epoch", -1)) + 1
             self.global_step = int(meta.get("global_step", 0))
+            print(f"[{task.name}] resumed from {resume_from}: epoch {start_epoch}"
+                  + (f", batch {resume_batch}" if resume_batch else "")
+                  + f", global_step {self.global_step}")
 
         if self.mesh is not None:
             rules = getattr(task, "param_sharding_rules", lambda path, leaf: None)
@@ -523,6 +531,7 @@ class Trainer:
                             if self.enable_checkpointing else last_path)
                     return FitResult(
                         params, state, best_val, best_path, last, scenes_per_sec,
+                        stop_reason=reason,
                     )
             if self.profile_dir and profiling:
                 jax.profiler.stop_trace()
