@@ -64,7 +64,8 @@ def enumerate_trials(dims: dict, limit: int, strategy: str = "grid_search"):
     keys = sorted(dims)
     if strategy == "random_search":
         rng = random.Random(_TRIAL_SEED)
-        return [{k: rng.choice(dims[k]) for k in keys} for _ in range(max(1, limit))]
+        n = 1 if limit is None else max(1, limit)
+        return [{k: rng.choice(dims[k]) for k in keys} for _ in range(n)]
     combos = [dict(zip(keys, c)) for c in itertools.product(*(dims[k] for k in keys))]
     return combos[:limit] if limit is not None else combos
 
