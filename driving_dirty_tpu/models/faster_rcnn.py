@@ -142,16 +142,24 @@ class BBFasterRCNN(Int8TrunkMixin, LabeledDataMixin, Task):
 
         b = images.shape[0]
         ch = self.predict_chunk
-        if b <= ch or b % ch != 0:
+        if b <= ch:
             return run(images, road)
-        ims = images.reshape(b // ch, ch, *images.shape[1:])
+        # pad the tail to a chunk multiple instead of falling back to one
+        # unchunked program (whose NMS temps scale with the full batch)
+        pad = (-b) % ch
+        if pad:
+            images = jnp.concatenate([images, jnp.zeros((pad, *images.shape[1:]), images.dtype)])
+            if road is not None:
+                road = jnp.concatenate([road, jnp.zeros((pad, *road.shape[1:]), road.dtype)])
+        n = b + pad
+        ims = images.reshape(n // ch, ch, *images.shape[1:])
         rds = (
-            road.reshape(b // ch, ch, *road.shape[1:])
+            road.reshape(n // ch, ch, *road.shape[1:])
             if road is not None
-            else jnp.zeros((b // ch, ch, 0))
+            else jnp.zeros((n // ch, ch, 0))
         )
         out = jax.lax.map(lambda xr: run(xr[0], xr[1] if road is not None else None), (ims, rds))
-        return jax.tree.map(lambda x: x.reshape(b, *x.shape[2:]), out)
+        return jax.tree.map(lambda x: x.reshape(n, *x.shape[2:])[:b], out)
 
     # --- validation metrics ----------------------------------------------
     _host_predict = None

@@ -136,3 +136,21 @@ def test_faster_rcnn_no_gt_boxes_still_trains():
     batch["box_valid"] = jnp.zeros_like(batch["box_valid"])
     loss, (ns, metrics) = task.loss(params, state, batch, jax.random.PRNGKey(1), train=True)
     assert np.isfinite(float(loss))
+
+
+def test_predict_chunking_pads_non_multiple_batches():
+    """predict() must chunk ANY batch larger than predict_chunk — a batch
+    that is not a chunk multiple is padded to one and sliced back, never
+    silently run unchunked (whose NMS temps scale with the full batch)."""
+    task = FasterRCNNRoadMap(TINY)
+    params, state = task.init(jax.random.PRNGKey(0))
+    batch = _batch(b=5, img=TINY["image_size"])
+
+    task.predict_chunk = 2  # b=5 -> pad to 6, lax.map over 3 chunks of 2
+    out = task.predict(params, state, batch["images"], batch["road"])
+    assert out["boxes"].shape[0] == 5
+    task.predict_chunk = 8  # b=5 <= 8 -> single unchunked program
+    ref = task.predict(params, state, batch["images"], batch["road"])
+    for k in out:
+        np.testing.assert_allclose(
+            np.asarray(out[k]), np.asarray(ref[k]), atol=2e-5, err_msg=k)
