@@ -168,9 +168,13 @@ def main(argv=None):
     args = ap.parse_args(argv)
 
     # fail fast if the device/tunnel is wedged: a trivial op that does not
-    # answer within 120 s means the heavy run would hang the caller for its
-    # whole timeout budget (observed multi-hour tunnel outages) — exit loudly
-    # instead so the failure is diagnosable and retryable
+    # answer within the probe window means the heavy run would hang the caller
+    # for its whole timeout budget (observed multi-hour tunnel outages). One
+    # retry after a pause, then a STRUCTURED failure: the JSON line still
+    # prints (value=null + error) so the driver records a parseable result,
+    # and we leave via os._exit — a wedged axon client thread throws during
+    # normal interpreter teardown, turning a clean sys.exit(2) into SIGABRT
+    # (observed as BENCH_r02 rc=134).
     import threading
 
     probe_ok = threading.Event()
@@ -182,15 +186,37 @@ def main(argv=None):
         float(jnp.ones((8, 8)).sum())
         probe_ok.set()
 
-    t = threading.Thread(target=_probe, daemon=True)
-    t.start()
-    t.join(120)
+    for attempt in (1, 2):
+        t = threading.Thread(target=_probe, daemon=True)
+        t.start()
+        t.join(120)
+        if probe_ok.is_set():
+            break
+        if attempt == 1:
+            sys.stderr.write(
+                "bench.py: device liveness probe timed out (120 s); "
+                "retrying once in 30 s\n"
+            )
+            time.sleep(30)
     if not probe_ok.is_set():
         sys.stderr.write(
             "bench.py: device liveness probe did not complete within 120 s "
-            "(TPU tunnel down or wedged); aborting instead of hanging\n"
+            "x2 (TPU tunnel down or wedged); aborting instead of hanging\n"
         )
-        sys.exit(2)
+        print(
+            json.dumps(
+                {
+                    "metric": "6-view scenes/sec/chip (roadmap inference)",
+                    "value": None,
+                    "unit": "scenes/sec",
+                    "vs_baseline": None,
+                    "error": "TPU tunnel down: device liveness probe timed out (120 s x2)",
+                }
+            )
+        )
+        sys.stdout.flush()
+        sys.stderr.flush()
+        os._exit(2)
 
     baseline = get_baseline(args.rebaseline)
     if args.batch is None:
@@ -208,6 +234,12 @@ def main(argv=None):
             }
         )
     )
+    # exit without running interpreter teardown: the tunneled platform's
+    # client threads can throw during finalization and flip rc to SIGABRT
+    # even after a fully successful measurement
+    sys.stdout.flush()
+    sys.stderr.flush()
+    os._exit(0)
 
 
 if __name__ == "__main__":
