@@ -191,7 +191,12 @@ class BBFasterRCNN(Int8TrunkMixin, LabeledDataMixin, Task):
                 )
         dets = self._host_predict(params, state, batch["images"], batch.get("road"))
         boxes_m = np.asarray(aabb_to_corners(dets["boxes"]))  # [b, D, 2, 4]
-        thr = hp(self.hparams, "val_ats_score_thresh", 0.5)
+        # default = the eval pipeline's own score floor (box_score_thresh
+        # 0.05), so val_ats scores every detection forward_eval returns —
+        # matching the reference's commented-out all-detections ATS intent
+        # (bb_fast_rcnn_w_map.py:139-154). Raise it to score only confident
+        # detections.
+        thr = hp(self.hparams, "val_ats_score_thresh", self.cfg.box_score_thresh)
         valid = np.asarray(dets["valid"]) & (np.asarray(dets["scores"]) > thr)
         gt = np.asarray(batch["boxes"])
         gtv = np.asarray(batch["box_valid"])
@@ -237,7 +242,10 @@ class BBFasterRCNN(Int8TrunkMixin, LabeledDataMixin, Task):
         parser.add_argument("--mse_loss", action="store_true", default=False)
         parser.add_argument("--val_ats", type=int, default=1, choices=[0, 1],
                             help="compute the box threat score (val_ats) during validation")
-        parser.add_argument("--val_ats_score_thresh", type=float, default=0.5)
+        parser.add_argument("--val_ats_score_thresh", type=float, default=0.05,
+                            help="score floor for detections entering val_ats; "
+                                 "default = the eval pipeline's box_score_thresh "
+                                 "so every returned detection is scored")
         add_labeled_data_args(parser)
         return parser
 

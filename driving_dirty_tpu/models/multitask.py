@@ -82,11 +82,35 @@ class MultiTask(Int8TrunkMixin, LabeledDataMixin, Task):
         rm_logits = self.rm_head.apply(params["rm_head"], z).reshape(z.shape[0], 800, 800)
         rm_logits = rm_logits.astype(jnp.float32)
 
+        # merge head runs in compute_dtype (bf16 under --precision 16) like
+        # spatial_bb's; only the probabilities are promoted for the f32 loss
         spatial, _ = self.space_map_cnn.apply(params["space_map_cnn"], {}, images)
-        box_probs, _ = self.box_merge.apply(
-            params["box_merge"], {}, ssr.astype(jnp.float32), spatial.astype(jnp.float32)
+        box_probs, _ = self.box_merge.apply(params["box_merge"], {}, ssr, spatial)
+        return rm_logits, box_probs[..., 0].astype(jnp.float32), {"encoder": new_enc_state}
+
+    def calibrate_int8(self, params, state, images):
+        """One-time int8 activation-scale calibration (precision 8 only);
+        trunk input is the stitched panorama (models/roadmap.py:82-93)."""
+        if not self.int8_trunk or self._int8_scales is not None:
+            return
+        x = wide_stitch(normalize_images(jnp.asarray(images), self.compute_dtype))
+        self.calibrate_int8_on(params["encoder"], x)
+
+    def predict(self, params, state, images, rng=None):
+        """Inference entry: -> {road_mask [b,800,800] binary,
+        box_occupancy [b,800,800] probabilities} from one shared encoder
+        pass. Road mask thresholds logits at 0 (== sigmoid > 0.5, the
+        roadmap predict convention); box occupancy stays probabilities
+        (in-graph sigmoid, caller picks the operating point)."""
+        rng = jax.random.PRNGKey(0) if rng is None else rng
+        self.calibrate_int8(params, state, images)
+        rm_logits, box_probs, _ = self.forward(
+            params, state, images, train=False, rng=rng
         )
-        return rm_logits, box_probs[..., 0], {"encoder": new_enc_state}
+        return {
+            "road_mask": (rm_logits > 0.0).astype(jnp.float32),
+            "box_occupancy": box_probs,
+        }
 
     def _box_targets(self, batch):
         if jax.default_backend() in ("tpu", "axon"):

@@ -174,8 +174,10 @@ class FasterRCNNHead:
             spatial_scale=1.0 / cfg.feat_stride, sampling_ratio=cfg.roi_sampling_ratio,
         )  # [b, R, 7, 7, C]
         b, r = pooled.shape[:2]
-        # match torch's NCHW flatten order for head-weight portability
-        flat = jnp.transpose(pooled, (0, 1, 4, 2, 3)).reshape(b, r, -1)
+        # match torch's NCHW flatten order for head-weight portability;
+        # RoIAlign accumulates in f32 — drop back to the backbone's compute
+        # dtype so the box-head MLP runs bf16 under --precision 16
+        flat = jnp.transpose(pooled, (0, 1, 4, 2, 3)).reshape(b, r, -1).astype(features.dtype)
         x = jax.nn.relu(self.box_fc1.apply(params["box_fc1"], flat))
         x = jax.nn.relu(self.box_fc2.apply(params["box_fc2"], x))
         return x
@@ -305,15 +307,17 @@ class FasterRCNNHead:
             "loss_rpn_box_reg": loss_rpn_reg,
         }
 
-    def forward_eval(self, params, features):
-        """-> detections dict: boxes [b, D, 4] (pixel xyxy), scores [b, D],
-        labels [b, D], valid [b, D]; D = box_detections_per_img."""
+    def postprocess_detections(self, rois, roi_valid, scores, reg):
+        """Eval post-processing chain (the torchvision
+        `postprocess_detections` analogue, run per image under vmap):
+        per-class box decode -> clip -> drop background -> score_thresh
+        floor -> top-1000 candidate cap -> per-class NMS via coordinate
+        offsetting -> top box_detections_per_img.
+
+        rois [b, P, 4], roi_valid [b, P], scores [b, P, K] (softmaxed),
+        reg [b, P, K*4] -> detections dict. Exposed as its own method so the
+        chain is golden-testable on analytic inputs (tests/goldens)."""
         cfg = self.cfg
-        obj, dl = self.rpn_forward(params, features)
-        rois, rv, _ = self.proposals(obj, dl, train=False)
-        emb = self.roi_features(params, features, rois)
-        cls, reg = self.box_predictions(params, emb)
-        scores = jax.nn.softmax(cls, axis=-1)
 
         def per_image(r, rv_, sc, rg):
             p = r.shape[0]
@@ -346,5 +350,15 @@ class FasterRCNNHead:
                 keep_valid,
             )
 
-        b, s, l, v = jax.vmap(per_image)(rois, rv, scores, reg)
+        b, s, l, v = jax.vmap(per_image)(rois, roi_valid, scores, reg)
         return {"boxes": b, "scores": s, "labels": l, "valid": v}
+
+    def forward_eval(self, params, features):
+        """-> detections dict: boxes [b, D, 4] (pixel xyxy), scores [b, D],
+        labels [b, D], valid [b, D]; D = box_detections_per_img."""
+        obj, dl = self.rpn_forward(params, features)
+        rois, rv, _ = self.proposals(obj, dl, train=False)
+        emb = self.roi_features(params, features, rois)
+        cls, reg = self.box_predictions(params, emb)
+        scores = jax.nn.softmax(cls, axis=-1)
+        return self.postprocess_detections(rois, rv, scores, reg)

@@ -8,6 +8,8 @@ jit/vmap-safe; invalid (padded) boxes are handled by the callers' masks.
 """
 from __future__ import annotations
 
+import math
+
 import jax.numpy as jnp
 
 
@@ -49,7 +51,7 @@ def encode(boxes, anchors, weights=(1.0, 1.0, 1.0, 1.0)):
     )
 
 
-def decode(deltas, anchors, weights=(1.0, 1.0, 1.0, 1.0), clip_exp=4.135):
+def decode(deltas, anchors, weights=(1.0, 1.0, 1.0, 1.0), clip_exp=math.log(1000.0 / 16.0)):
     """Inverse of `encode`. clip_exp = log(1000/16) (torchvision's clamp)."""
     wa = anchors[..., 2] - anchors[..., 0]
     ha = anchors[..., 3] - anchors[..., 1]

@@ -292,7 +292,11 @@ def sample_balanced(key, labels, num_samples: int, positive_fraction: float,
     proposal selection: DetectionConfig.exact_topk=True restores exact.
     """
     n = labels.shape[0]
-    n_pos_want = int(num_samples * positive_fraction)
+    # a candidate pool smaller than the requested sample (tiny test configs;
+    # impossible on the 2.4M-anchor / 1000+G-proposal production paths) just
+    # clamps the top-k widths — the output keeps its fixed [num_samples] shape
+    n_pos_want = min(int(num_samples * positive_fraction), n)
+    n_neg_want = min(num_samples, n)
     pos_mask = labels == 1
     neg_mask = labels == 0
 
@@ -301,23 +305,30 @@ def sample_balanced(key, labels, num_samples: int, positive_fraction: float,
     pos_val, pos_idx = top_k(jnp.where(pos_mask, u, NEG_INF), n_pos_want)
     pos_take = pos_val > NEG_INF / 2
     n_pos = jnp.sum(pos_take)
-    neg_val, neg_idx = top_k(jnp.where(neg_mask, u, NEG_INF), num_samples)  # over-sample negatives
+    neg_val, neg_idx = top_k(jnp.where(neg_mask, u, NEG_INF), n_neg_want)  # over-sample negatives
     # negatives fill whatever the positives left open
     neg_needed = num_samples - n_pos
-    neg_rank = jnp.arange(num_samples)
+    neg_rank = jnp.arange(n_neg_want)
     neg_take = (neg_val > NEG_INF / 2) & (neg_rank < neg_needed)
     # Pack taken entries (<= num_samples by construction) into exactly
     # num_samples slots, positives first.
     cand_idx = jnp.concatenate([pos_idx, neg_idx])
     cand_pos = jnp.concatenate(
-        [jnp.ones(n_pos_want, bool), jnp.zeros(num_samples, bool)]
+        [jnp.ones(n_pos_want, bool), jnp.zeros(n_neg_want, bool)]
     )
     cand_take = jnp.concatenate([pos_take, neg_take])
     order = jnp.arange(cand_idx.shape[0], dtype=jnp.float32)
     prio = jnp.where(cand_take, -order, NEG_INF)
-    val, sel = lax.top_k(prio, num_samples)
+    k_pack = min(num_samples, cand_idx.shape[0])
+    val, sel = lax.top_k(prio, k_pack)
     take = val > NEG_INF / 2
-    return cand_idx[sel], cand_pos[sel] & take, take
+    idx_out, pos_out = cand_idx[sel], cand_pos[sel] & take
+    if k_pack < num_samples:  # pad filler slots back to the fixed shape
+        pad = num_samples - k_pack
+        idx_out = jnp.concatenate([idx_out, jnp.zeros(pad, idx_out.dtype)])
+        pos_out = jnp.concatenate([pos_out, jnp.zeros(pad, bool)])
+        take = jnp.concatenate([take, jnp.zeros(pad, bool)])
+    return idx_out, pos_out, take
 
 
 # ---------------------------------------------------------------------------

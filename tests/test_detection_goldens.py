@@ -122,3 +122,123 @@ def test_batched_class_nms_golden():
     offset = labels[:, None] * 1000.0
     keep = _nms_keep(boxes + offset, g["scores"], g["iou_threshold"])
     assert keep == g["keep"]
+
+
+def test_rpn_loss_golden_values():
+    """End-to-end RPN loss VALUES on the 4-anchor/1-gt analytic case — pins
+    the BCE objectness formula, the smooth-L1 beta=1/9, the forced-tie
+    matching, and the sample-count normalizer (derivation in the goldens
+    file). Values are sampler-independent by symmetry, so any rng passes."""
+    from driving_dirty_tpu.nn.detection import DetectionConfig, FasterRCNNHead
+
+    g = GOLDENS["rpn_loss"]
+    c = g["config"]
+    cfg = DetectionConfig(
+        image_size=c["image_size"], feat_stride=c["feat_stride"],
+        anchor_sizes=tuple(c["anchor_sizes"]),
+        anchor_ratios=tuple(c["anchor_ratios"]),
+        rpn_batch_per_image=c["rpn_batch_per_image"],
+        exact_topk=c["exact_topk"],
+    )
+    head = FasterRCNNHead(cfg)
+    obj = jnp.asarray([g["objectness"]], jnp.float32)
+    dl = jnp.asarray([g["deltas"]], jnp.float32)
+    gtb = jnp.asarray([[g["gt_box"]]], jnp.float32)
+    gtv = jnp.ones((1, 1), bool)
+    for seed in (0, 1, 2):  # sampler rng must not change the values
+        ol, rl = head.rpn_loss(jax.random.PRNGKey(seed), obj, dl, gtb, gtv)
+        np.testing.assert_allclose(float(ol), g["loss_objectness"], rtol=1e-5)
+        np.testing.assert_allclose(float(rl), g["loss_rpn_box_reg"], rtol=1e-5)
+
+
+def test_roi_loss_golden_values():
+    """ROI head loss VALUES with analytically-controlled parameters (zeroed
+    MLP => uniform class posteriors; bbox_pred bias = 0.1*arange): pins CE
+    = ln K, the per-class regression slot selection, smooth-L1 beta=1, and
+    the sum(take) normalizer that includes negatives."""
+    from driving_dirty_tpu.nn.detection import DetectionConfig, FasterRCNNHead
+
+    g = GOLDENS["roi_loss"]
+    cfg = DetectionConfig(image_size=16)
+    head = FasterRCNNHead(cfg)
+    params = jax.tree.map(jnp.zeros_like, head.init(jax.random.PRNGKey(0)))
+    nb = cfg.num_classes * 4
+    params["bbox_pred"]["b"] = jnp.arange(nb, dtype=jnp.float32) * g["bbox_pred_bias_scale"]
+    feats = jnp.zeros((1, 8, 8, cfg.backbone_channels), jnp.float32)
+    sampled = {
+        "rois": jnp.asarray([g["rois"]], jnp.float32),
+        "cls_target": jnp.asarray([g["cls_target"]], jnp.int32),
+        "reg_target": jnp.asarray([g["reg_target"]], jnp.float32),
+        "is_pos": jnp.asarray([g["is_pos"]]),
+        "take": jnp.asarray([g["take"]]),
+    }
+    cl, rl = head.roi_loss(params, feats, sampled)
+    np.testing.assert_allclose(float(cl), g["loss_classifier"], rtol=1e-5)
+    np.testing.assert_allclose(float(rl), g["loss_box_reg"], rtol=1e-5)
+
+
+def test_postprocess_detections_golden():
+    """forward_eval's post-processing chain end-to-end on the analytic
+    3-proposal/2-class case: score floor, invalid-roi zeroing, candidate
+    cap, per-class NMS via offsetting, cross-class score ordering."""
+    from driving_dirty_tpu.nn.detection import DetectionConfig, FasterRCNNHead
+
+    g = GOLDENS["postprocess"]
+    c = g["config"]
+    cfg = DetectionConfig(
+        image_size=c["image_size"], num_classes=c["num_classes"],
+        box_detections_per_img=c["box_detections_per_img"],
+        box_score_thresh=c["box_score_thresh"], box_nms_thresh=c["box_nms_thresh"],
+    )
+    head = FasterRCNNHead(cfg)
+    p = len(g["rois"])
+    rois = jnp.asarray([g["rois"]], jnp.float32)
+    rv = jnp.asarray([g["roi_valid"]])
+    scores = jnp.asarray([g["scores"]], jnp.float32)
+    reg = jnp.zeros((1, p, cfg.num_classes * 4), jnp.float32)
+    out = head.postprocess_detections(rois, rv, scores, reg)
+    valid = np.asarray(out["valid"])[0]
+    np.testing.assert_array_equal(valid, g["expected_valid"])
+    n = int(valid.sum())
+    np.testing.assert_allclose(np.asarray(out["boxes"])[0][:n],
+                               g["expected_boxes"], atol=1e-5)
+    np.testing.assert_allclose(np.asarray(out["scores"])[0][:n],
+                               g["expected_scores"], rtol=1e-6)
+    np.testing.assert_array_equal(np.asarray(out["labels"])[0][:n],
+                                  g["expected_labels"])
+
+
+def test_box_coding_clamp_golden():
+    """decode clamps dw/dh at exactly log(1000/16); just below the clamp is
+    NOT clamped."""
+    g = GOLDENS["box_coding_clamp"]
+    anchor = jnp.asarray([g["anchor"]], jnp.float32)
+    dec = B.decode(jnp.asarray([g["deltas_clamped"]], jnp.float32), anchor)
+    np.testing.assert_allclose(np.asarray(dec)[0], g["decoded_clamped"], rtol=1e-6)
+    dec2 = B.decode(jnp.asarray([g["deltas_below_clamp"]], jnp.float32), anchor)
+    np.testing.assert_allclose(np.asarray(dec2)[0], g["decoded_below_clamp"], rtol=1e-6)
+
+
+def test_sampler_counts_golden():
+    """BalancedPositiveNegativeSampler count semantics under positive
+    scarcity / negative scarcity / positive surplus (exact path)."""
+    g = GOLDENS["sampler_scarcity"]
+    for case in g["cases"]:
+        n = case["n_pos_avail"] + case["n_neg_avail"] + case["n_ignore"]
+        labels = np.full(n, -1, np.int32)
+        labels[:case["n_pos_avail"]] = 1
+        labels[case["n_pos_avail"]:case["n_pos_avail"] + case["n_neg_avail"]] = 0
+        rs = np.random.RandomState(0)
+        rs.shuffle(labels)
+        for seed in (0, 5):
+            idx, is_pos, take = D.sample_balanced(
+                jax.random.PRNGKey(seed), jnp.asarray(labels),
+                g["num_samples"], g["positive_fraction"], approx=False,
+            )
+            assert int(np.sum(np.asarray(take))) == case["expect_total"], case
+            assert int(np.sum(np.asarray(is_pos) & np.asarray(take))) == case["expect_pos"], case
+            # every taken index really has the label its slot claims
+            lab = labels[np.asarray(idx)]
+            tk = np.asarray(take)
+            assert (lab[np.asarray(is_pos) & tk] == 1).all()
+            assert (lab[~np.asarray(is_pos) & tk] == 0).all()
