@@ -64,6 +64,11 @@ def add_trainer_args(parser: argparse.ArgumentParser) -> argparse.ArgumentParser
                    help="16 -> bfloat16 compute where supported")
     g.add_argument("--resume_from_checkpoint", type=str, default=None)
     g.add_argument("--default_root_dir", type=str, default="logs")
+    g.add_argument("--version", type=int, default=None,
+                   help="pin the experiment version (writes into "
+                        "<root>/<task>/version_N); default: allocate the next "
+                        "free version per run, test-tube style. Resuming from "
+                        "a checkpoint keeps the checkpoint's version.")
     g.add_argument("--limit_train_batches", type=int, default=None)
     g.add_argument("--limit_val_batches", type=int, default=None)
     g.add_argument("--log_every_n_steps", type=int, default=50)
@@ -122,6 +127,7 @@ def trainer_from_args(args) -> Trainer:
         walltime_minutes=getattr(args, "walltime_minutes", None),
         gradient_clip_val=getattr(args, "gradient_clip_val", 0.0),
         accumulate_grad_batches=getattr(args, "accumulate_grad_batches", 1),
+        version=getattr(args, "version", None),
     )
 
 

@@ -24,6 +24,7 @@ invoked at every task's __main__, e.g.
 from __future__ import annotations
 
 import os
+import re
 import time
 from dataclasses import dataclass
 
@@ -109,7 +110,12 @@ class Trainer:
         checkpoint_before_walltime_minutes: float = 5.0,
         gradient_clip_val: float = 0.0,
         accumulate_grad_batches: int = 1,
+        version: int | None = None,
     ):
+        # experiment version (test-tube semantics, submit.py:36-37 via the TT
+        # logger): None = allocate the next free version_N under
+        # <root>/<task>/; an int pins it (reuse/overwrite that version)
+        self.version = version
         self.gradient_clip_val = gradient_clip_val
         self.accumulate_grad_batches = max(1, int(accumulate_grad_batches))
         self.max_epochs = max_epochs
@@ -338,8 +344,56 @@ class Trainer:
             self._ckpt_writer.wait()
         return path
 
+    def _resolve_run_dir(self, task_name: str, resume_from: str | None) -> str:
+        """Versioned experiment dir: <root>/<task>/version_N.
+
+        A NEW run allocates the next free version (test-tube's behavior —
+        the reference versioned every run under logs_save_path/tt_name,
+        /root/reference/src/submit.py:36-37); a RESUMED run stays in the
+        version its checkpoint lives in (realpath follows the task-level
+        last.ckpt convenience symlink into the right version dir)."""
+        task_dir = os.path.join(self.root, task_name)
+        if resume_from:
+            d = os.path.dirname(os.path.realpath(resume_from))
+            if re.fullmatch(r"version_\d+", os.path.basename(d)) and (
+                os.path.dirname(os.path.abspath(d)) == os.path.abspath(task_dir)
+            ):
+                return d
+        if self.version is not None:
+            d = os.path.join(task_dir, f"version_{self.version}")
+            os.makedirs(d, exist_ok=True)
+            return d
+        os.makedirs(task_dir, exist_ok=True)
+        existing = [
+            int(m.group(1))
+            for n in os.listdir(task_dir)
+            if (m := re.fullmatch(r"version_(\d+)", n))
+        ]
+        n = max(existing, default=-1) + 1
+        while True:  # mkdir is atomic: concurrent trials can't share a version
+            d = os.path.join(task_dir, f"version_{n}")
+            try:
+                os.mkdir(d)
+                return d
+            except FileExistsError:
+                n += 1
+
+    @staticmethod
+    def _link_latest(run_dir: str, name: str) -> None:
+        """Refresh <task_dir>/<name> -> version_N/<name> so path-stable
+        consumers (run_test --rm_ckpt_path, pretrained_path, emitted sbatch
+        resume lines) always see the newest run without knowing versions."""
+        task_dir = os.path.dirname(run_dir)
+        link = os.path.join(task_dir, name)
+        try:
+            if os.path.islink(link) or os.path.exists(link):
+                os.remove(link)
+            os.symlink(os.path.join(os.path.basename(run_dir), name), link)
+        except OSError:
+            pass  # convenience only; the versioned path is authoritative
+
     def fit(self, task, resume_from: str | None = None) -> FitResult:
-        run_dir = os.path.join(self.root, task.name)
+        run_dir = self._resolve_run_dir(task.name, resume_from)
         logger = MetricsLogger(os.path.join(run_dir, "tb"))
         self._install_preemption_handler()
         rng = jax.random.PRNGKey(self.seed)
@@ -515,6 +569,7 @@ class Trainer:
                         best_val=best_val, plateau_wait=plateau_wait, lr=lr,
                         sync=self._preempted,
                     )
+                    self._link_latest(run_dir, "last.ckpt")
                 if self._preempted:
                     reason = stop_reason or "preemption signal"
                     saved = "checkpoint saved, " if self.enable_checkpointing else ""
@@ -600,11 +655,13 @@ class Trainer:
                         best_path, task, ck[0], ck[1], ck[2], rng, meta=meta,
                         best_val=best_val, plateau_wait=plateau_wait, lr=lr,
                     )
+                    self._link_latest(run_dir, "best.ckpt")
                 last_path = os.path.join(run_dir, "last.ckpt")
                 self._save_ckpt(
                     last_path, task, ck[0], ck[1], ck[2], rng, meta=meta,
                     best_val=best_val, plateau_wait=plateau_wait, lr=lr,
                 )
+                self._link_latest(run_dir, "last.ckpt")
 
         logger.close()
         if self._ckpt_writer is not None:

@@ -34,10 +34,22 @@ def data_dir(tmp_path_factory):
     return str(d)
 
 
+def _metrics_path(root, task_name):
+    """Newest versioned run's metrics file (runs write under
+    <root>/<task>/version_N since the experiment-versioning change)."""
+    import glob
+
+    paths = sorted(
+        glob.glob(os.path.join(root, task_name, "version_*", "tb", "metrics.jsonl")),
+        key=lambda p: int(p.split("version_")[1].split(os.sep)[0]),
+    )
+    assert paths, f"no versioned metrics.jsonl under {root}/{task_name}"
+    return paths[-1]
+
+
 def _losses(root, task_name):
-    path = os.path.join(root, task_name, "tb", "metrics.jsonl")
     out = []
-    with open(path) as f:
+    with open(_metrics_path(root, task_name)) as f:
         for line in f:
             rec = json.loads(line)
             if "train_loss" in rec:
@@ -51,8 +63,8 @@ def _store_artifact(root, task_name):
     if os.environ.get("DD_STORE_GATE_ARTIFACTS") != "1":
         return
     os.makedirs(ARTIFACTS, exist_ok=True)
-    src = os.path.join(root, task_name, "tb", "metrics.jsonl")
-    shutil.copy(src, os.path.join(ARTIFACTS, f"{task_name}.jsonl"))
+    shutil.copy(_metrics_path(root, task_name),
+                os.path.join(ARTIFACTS, f"{task_name}.jsonl"))
 
 
 def test_detection_losses_decrease():
@@ -160,7 +172,7 @@ def test_roadmap_beats_trivial_predictor_ts(data_dir, tmp_path):
 
     # final val TS must beat the trivial all-road predictor: the fixed road
     # blob is 200x200 of 800x800, so all-ones scores TS = 0.0625
-    path = os.path.join(root, "roadmap_bce", "tb", "metrics.jsonl")
+    path = _metrics_path(root, "roadmap_bce")
     ts = [json.loads(l).get("val_ts_rounded") for l in open(path)]
     ts = [t for t in ts if t is not None]
     _store_artifact(root, "roadmap_bce")

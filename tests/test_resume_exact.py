@@ -40,14 +40,25 @@ def data_dir(tmp_path_factory):
 
 
 def _read_losses(root, task_name):
-    """step -> train_loss from the metrics JSONL (log_every_n_steps=1)."""
-    path = os.path.join(root, task_name, "tb", "metrics.jsonl")
+    """step -> train_loss from the metrics JSONL (log_every_n_steps=1).
+
+    Runs write under versioned experiment dirs (<root>/<task>/version_N);
+    a resumed run appends to its own version's file, so merging across
+    versions in order reconstructs the full trajectory."""
+    import glob
+
+    paths = sorted(
+        glob.glob(os.path.join(root, task_name, "version_*", "tb", "metrics.jsonl")),
+        key=lambda p: int(p.split("version_")[1].split(os.sep)[0]),
+    )
+    assert paths, f"no versioned metrics.jsonl under {root}/{task_name}"
     out = {}
-    with open(path) as f:
-        for line in f:
-            rec = json.loads(line)
-            if "train_loss" in rec:
-                out[rec["step"]] = rec["train_loss"]
+    for path in paths:
+        with open(path) as f:
+            for line in f:
+                rec = json.loads(line)
+                if "train_loss" in rec:
+                    out[rec["step"]] = rec["train_loss"]
     return out
 
 

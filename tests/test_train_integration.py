@@ -225,3 +225,30 @@ def test_val_host_hook_perkey_weighting(tmp_path):
     assert out["val_loss"] == pytest.approx(1.0)
     # NOT 0.8 * 2/(2+4) or 0.8/2 — the empty-hook batch contributes no weight
     assert out["val_ats"] == pytest.approx(0.8)
+
+
+def test_experiment_versioning(data_dir, tmp_path):
+    """New runs get fresh version_N dirs; resume keeps its version; the
+    task-level last.ckpt symlink tracks the newest run (test-tube versioned
+    experiments, /root/reference/src/submit.py:36-37)."""
+    root = str(tmp_path / "logs")
+    task = BasicAE(dict(link=data_dir, **TINY))
+    kw = dict(limit_train_batches=1, limit_val_batches=1, enable_progress_bar=False)
+
+    r1 = Trainer(max_epochs=1, default_root_dir=root, **kw).fit(task)
+    assert os.sep + "version_0" + os.sep in r1.last_ckpt_path
+    r2 = Trainer(max_epochs=1, default_root_dir=root, **kw).fit(task)
+    assert os.sep + "version_1" + os.sep in r2.last_ckpt_path
+    # the convenience symlink points at the NEWEST version
+    link = os.path.join(root, task.name, "last.ckpt")
+    assert os.path.islink(link)
+    assert os.path.realpath(link) == os.path.realpath(r2.last_ckpt_path)
+
+    # resuming through the symlink stays in version_1 — no new version dir
+    r3 = Trainer(max_epochs=2, default_root_dir=root, **kw).fit(task, resume_from=link)
+    assert os.sep + "version_1" + os.sep in r3.last_ckpt_path
+    assert not os.path.isdir(os.path.join(root, task.name, "version_2"))
+
+    # pinning --version reuses that dir
+    r4 = Trainer(max_epochs=1, default_root_dir=root, version=7, **kw).fit(task)
+    assert os.sep + "version_7" + os.sep in r4.last_ckpt_path
