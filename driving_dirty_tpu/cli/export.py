@@ -20,9 +20,12 @@ def main(argv=None):
     ap.add_argument("--rm_ckpt_path", required=True,
                     help="framework .ckpt or raw Lightning rm.ckpt")
     ap.add_argument("--kind", default="roadmap",
-                    choices=["roadmap", "detection"],
+                    choices=["roadmap", "detection", "spatial", "multitask"],
                     help="roadmap: views -> 800x800 mask; detection: a "
-                         "faster_rcnn[_rm] ckpt -> fixed-shape detections")
+                         "faster_rcnn[_rm] ckpt -> fixed-shape detections; "
+                         "spatial: a spatial_bb/spatial_rm ckpt -> occupancy "
+                         "probabilities; multitask: -> road mask + box "
+                         "occupancy from one shared encoder pass")
     ap.add_argument("--out", required=True, help=".ddx artifact path")
     ap.add_argument("--batch_size", type=int, default=1)
     ap.add_argument("--precision", type=int, default=None, choices=[8, 16, 32])
@@ -61,6 +64,18 @@ def main(argv=None):
         meta = ddx.export_detection(
             args.rm_ckpt_path, args.out, batch_size=args.batch_size,
             precision=args.precision, platforms=platforms, calib=calib,
+        )
+    elif args.kind == "spatial":
+        meta = ddx.export_spatial(
+            args.rm_ckpt_path, args.out, batch_size=args.batch_size,
+            precision=args.precision, platforms=platforms,
+            calib_images=None if calib is None else calib["images"],
+        )
+    elif args.kind == "multitask":
+        meta = ddx.export_multitask(
+            args.rm_ckpt_path, args.out, batch_size=args.batch_size,
+            precision=args.precision, platforms=platforms,
+            calib_images=None if calib is None else calib["images"],
         )
     else:
         meta = ddx.export_roadmap(

@@ -37,8 +37,8 @@ import zipfile
 
 import numpy as np
 
-__all__ = ["export_roadmap", "export_detection", "load", "Served",
-           "FORMAT_VERSION"]
+__all__ = ["export_roadmap", "export_detection", "export_spatial",
+           "export_multitask", "load", "Served", "FORMAT_VERSION"]
 
 FORMAT_VERSION = 2  # v2: named input specs (meta['inputs']) + pytree outputs
 
@@ -189,6 +189,95 @@ def export_detection(ckpt_path, out_path, *, batch_size=1, precision=None,
         {"task": task.name, "batch_size": batch_size,
          "precision": precision or int(hp(task.hparams, "precision", 32) or 32),
          "output": "detections_pixel_xyxy",
+         "state_digest": _state_digest(state)},
+    )
+
+
+def _load_task_ckpt(ckpt_path, precision, classes):
+    """Framework .ckpt -> (task, params, state) for any task family in
+    `classes` (name -> class); same restore recipe as
+    cli/eval_boxes.load_detection_task."""
+    import jax
+    import jax.numpy as jnp
+
+    from driving_dirty_tpu.checkpoints import io as ckpt_io
+
+    blob = ckpt_io.load(ckpt_path)
+    task_name = blob["meta"].get("task")
+    if task_name not in classes:
+        raise ValueError(
+            f"checkpoint task {task_name!r} is not one of {sorted(classes)}")
+    hparams = dict(blob["hparams"] or {})
+    hparams.setdefault("pretrained_path", None)
+    if precision is not None:
+        hparams["precision"] = precision
+    task = classes[task_name](hparams)
+    params = jax.tree.map(jnp.asarray, blob["params"])
+    state = (jax.tree.map(jnp.asarray, blob["state"]) if blob.get("state")
+             else task.init(jax.random.PRNGKey(0))[1])
+    return task, params, state
+
+
+def export_spatial(ckpt_path, out_path, *, batch_size=1, precision=None,
+                   platforms=("tpu", "cpu"), calib_images=None):
+    """Export a spatial occupancy checkpoint (spatial_bb / spatial_rm) to a
+    .ddx artifact: images [b, 6, 256, 306, 3] (+ road [b, 800, 800] for the
+    rm variant) -> occupancy probabilities [b, 800, 800]."""
+    import jax.numpy as jnp
+
+    from driving_dirty_tpu.models.spatial_bb import BBSpatialModel, BBSpatialRoadMap
+
+    task, params, state = _load_task_ckpt(
+        ckpt_path, precision,
+        {"spatial_bb": BBSpatialModel, "spatial_rm": BBSpatialRoadMap},
+    )
+    if task.int8_trunk:
+        if calib_images is None:
+            raise ValueError("--precision 8 export needs calibration images")
+        task.calibrate_int8(params, state, jnp.asarray(calib_images))
+
+    inputs = [{"name": "images", "shape": [batch_size, 6, 256, 306, 3],
+               "dtype": "float32", "uint8_scale": True}]
+    if task.uses_roadmap:
+        inputs.append({"name": "road", "shape": [batch_size, 800, 800],
+                       "dtype": "float32"})
+        predict = lambda p, images, road: task.predict(p, state, images, road)
+    else:
+        predict = lambda p, images: task.predict(p, state, images)
+    return _export_artifact(
+        predict, params, inputs, out_path, platforms,
+        {"task": task.name, "batch_size": batch_size,
+         "precision": precision or int(getattr(task.hparams, "precision", 32) or 32),
+         "output": "occupancy_800x800_prob",
+         "state_digest": _state_digest(state)},
+    )
+
+
+def export_multitask(ckpt_path, out_path, *, batch_size=1, precision=None,
+                     platforms=("tpu", "cpu"), calib_images=None):
+    """Export a multitask checkpoint to a .ddx artifact:
+    images [b, 6, 256, 306, 3] -> {road_mask [b, 800, 800] binary,
+    box_occupancy [b, 800, 800] probabilities} in one shared encoder pass."""
+    import jax.numpy as jnp
+
+    from driving_dirty_tpu.models.multitask import MultiTask
+
+    task, params, state = _load_task_ckpt(
+        ckpt_path, precision, {"multitask": MultiTask})
+    if task.int8_trunk:
+        if calib_images is None:
+            raise ValueError("--precision 8 export needs calibration images")
+        task.calibrate_int8(params, state, jnp.asarray(calib_images))
+
+    return _export_artifact(
+        lambda p, images: task.predict(p, state, images),
+        params,
+        [{"name": "images", "shape": [batch_size, 6, 256, 306, 3],
+          "dtype": "float32", "uint8_scale": True}],
+        out_path, platforms,
+        {"task": task.name, "batch_size": batch_size,
+         "precision": precision or int(getattr(task.hparams, "precision", 32) or 32),
+         "output": "road_mask_and_box_occupancy_800x800",
          "state_digest": _state_digest(state)},
     )
 

@@ -88,6 +88,30 @@ class BBSpatialModel(Int8TrunkMixin, LabeledDataMixin, Task):
             probs, _ = self.box_merge.apply(params["box_merge"], {}, ssr, spatial)
         return probs[..., 0].astype(jnp.float32), {"encoder": se}  # losses in f32
 
+    def calibrate_int8(self, params, state, images):
+        """One-time int8 activation-scale calibration (precision 8 only).
+        The quantized trunk input is the stitched panorama — same recipe as
+        RoadMapBase.calibrate_int8 (models/roadmap.py)."""
+        if not self.int8_trunk or self._int8_scales is not None:
+            return
+        x = wide_stitch(normalize_images(jnp.asarray(images), self.compute_dtype))
+        self.calibrate_int8_on(params["encoder"], x)
+
+    def predict(self, params, state, images, road=None, rng=None):
+        """Inference entry: -> occupancy probabilities [b, 800, 800].
+
+        Probabilities (not a thresholded mask): the spatial heads end in an
+        in-graph sigmoid (nn/spatial.py merge CNNs), so there is no logit
+        shortcut to expose, and downstream consumers threshold at their own
+        operating point."""
+        rng = jax.random.PRNGKey(0) if rng is None else rng
+        self.calibrate_int8(params, state, images)
+        probs, _ = self.forward(
+            params, state, images, road if self.uses_roadmap else None,
+            train=False, rng=rng,
+        )
+        return probs
+
     def _targets(self, batch):
         # Pallas kernel on TPU (streams row tiles, no [N, 800, 800] mask stack,
         # compiles in seconds); jnp path elsewhere (Mosaic is TPU-only).

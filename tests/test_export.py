@@ -270,3 +270,92 @@ def test_predict_all_rejects_empty_batch(artifact):
     served = ddx.load(artifact)
     with pytest.raises(ValueError, match="no scenes"):
         serve.predict_all(served, np.zeros((0, 6, 256, 306, 3), np.float32))
+
+
+@pytest.fixture(scope="module")
+def spatial_artifact(tmp_path_factory):
+    """A spatial_rm artifact (images + road -> occupancy probabilities)."""
+    from driving_dirty_tpu.models.spatial_bb import BBSpatialRoadMap
+
+    hp = dict(pretrained_path=None, ae_hidden_dim=8, ae_latent_dim=8,
+              batch_size=2, precision=32)
+    task = BBSpatialRoadMap(hp)
+    params, state = task.init(jax.random.PRNGKey(0))
+    d = tmp_path_factory.mktemp("sp_exp")
+    ckpt = str(d / "sp.ckpt")
+    ckpt_io.save(ckpt, params=params, state=state, hparams=hp,
+                 meta={"task": "spatial_rm"})
+    out = str(d / "sp.ddx")
+    meta = ddx.export_spatial(ckpt, out, batch_size=2, platforms=("cpu",))
+    assert [s["name"] for s in meta["inputs"]] == ["images", "road"]
+    assert meta["output"] == "occupancy_800x800_prob"
+    return ckpt, out
+
+
+def test_spatial_export_matches_direct(spatial_artifact):
+    from driving_dirty_tpu.models.spatial_bb import BBSpatialRoadMap
+
+    ckpt, art = spatial_artifact
+    served = ddx.load(art)
+    rng = np.random.RandomState(12)
+    images = rng.rand(2, 6, 256, 306, 3).astype(np.float32)
+    road = (rng.rand(2, 800, 800) > 0.5).astype(np.float32)
+    out = np.asarray(served(images, road))
+    assert out.shape == (2, 800, 800)
+    assert 0.0 <= out.min() and out.max() <= 1.0
+
+    blob = ckpt_io.load(ckpt)
+    task = BBSpatialRoadMap(dict(blob["hparams"]))
+    direct = np.asarray(task.predict(
+        jax.tree.map(jnp.asarray, blob["params"]),
+        jax.tree.map(jnp.asarray, blob["state"]),
+        jnp.asarray(images), jnp.asarray(road)))
+    np.testing.assert_allclose(out, direct, rtol=1e-5, atol=1e-6)
+
+
+@pytest.fixture(scope="module")
+def multitask_artifact(tmp_path_factory):
+    from driving_dirty_tpu.models.multitask import MultiTask
+
+    hp = dict(pretrained_path=None, ae_hidden_dim=8, ae_latent_dim=8,
+              batch_size=2, precision=32)
+    task = MultiTask(hp)
+    params, state = task.init(jax.random.PRNGKey(0))
+    d = tmp_path_factory.mktemp("mt_exp")
+    ckpt = str(d / "mt.ckpt")
+    ckpt_io.save(ckpt, params=params, state=state, hparams=hp,
+                 meta={"task": "multitask"})
+    out = str(d / "mt.ddx")
+    meta = ddx.export_multitask(ckpt, out, batch_size=2, platforms=("cpu",))
+    assert meta["output"] == "road_mask_and_box_occupancy_800x800"
+    return ckpt, out
+
+
+def test_multitask_export_matches_direct(multitask_artifact):
+    from driving_dirty_tpu.models.multitask import MultiTask
+
+    ckpt, art = multitask_artifact
+    served = ddx.load(art)
+    rng = np.random.RandomState(13)
+    images = rng.rand(2, 6, 256, 306, 3).astype(np.float32)
+    out = served(images)
+    assert set(out.keys()) == {"road_mask", "box_occupancy"}
+    mask = np.asarray(out["road_mask"])
+    occ = np.asarray(out["box_occupancy"])
+    assert mask.shape == occ.shape == (2, 800, 800)
+    assert set(np.unique(mask)) <= {0.0, 1.0}
+
+    blob = ckpt_io.load(ckpt)
+    task = MultiTask(dict(blob["hparams"]))
+    direct = task.predict(
+        jax.tree.map(jnp.asarray, blob["params"]),
+        jax.tree.map(jnp.asarray, blob["state"]), jnp.asarray(images))
+    np.testing.assert_array_equal(mask, np.asarray(direct["road_mask"]))
+    np.testing.assert_allclose(occ, np.asarray(direct["box_occupancy"]),
+                               rtol=1e-5, atol=1e-6)
+
+
+def test_load_task_ckpt_rejects_wrong_family(spatial_artifact, tmp_path):
+    ckpt, _ = spatial_artifact
+    with pytest.raises(ValueError, match="spatial_rm"):
+        ddx.export_multitask(ckpt, str(tmp_path / "x.ddx"), platforms=("cpu",))
