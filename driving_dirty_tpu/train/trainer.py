@@ -130,13 +130,12 @@ class Trainer:
         self.enable_checkpointing = enable_checkpointing
         self.enable_progress_bar = enable_progress_bar
         self.profile_dir = profile_dir
-        if profile_dir and _on_axon_platform():
-            # jax.profiler.start_trace HANGS on the tunneled axon platform
-            # (verified: a minimal start/stop trace never returns); disable
-            # rather than freeze the fit loop. Real TPU VMs profile normally.
-            print("[trainer] --profile_dir disabled: profiler hangs on the "
-                  "tunneled 'axon' TPU platform")
-            self.profile_dir = None
+        # jax.profiler on the tunneled axon platform: re-verified WORKING
+        # 2026-08-20 (scripts/probe_profiler.py, 4/5 watchdog runs produced
+        # real xplane + trace.json artifacts; the one observed hang coincided
+        # with a wedged tunnel, which hangs ALL device compute — tracing adds
+        # no extra hang risk). The r1-era hard disable is gone; if the tunnel
+        # wedges mid-trace the whole step loop is stuck anyway.
         if debug_nans:
             jax.config.update("jax_debug_nans", True)
         if donate_buffers is None:
@@ -270,8 +269,8 @@ class Trainer:
 
     def _log_cost_analysis(self, train_step, logger, args):
         """Compiled-HLO cost analysis into the metrics JSONL (SURVEY.md §5.1
-        fallback for platforms where jax.profiler is unusable, e.g. the
-        tunneled axon TPU): flops + HBM bytes of the train step, logged once.
+        complement to jax.profiler traces — always available, even where a
+        profiler is not): flops + HBM bytes of the train step, logged once.
         The lowering hits the persistent compilation cache (same HLO as the
         step that just ran), so this costs a trace, not a compile."""
         try:
