@@ -58,20 +58,24 @@ def main():
         head_params = {k: v for k, v in params.items() if k != "encoder"}
         opt_state = tx.init(head_params)
 
-        # frozen phase: encoder params are constants (stop_gradient), grads
+        # frozen phase: encoder params enter under stop_gradient so grads
         # flow only to the head — mirrors the trainer's static freeze
-        # partition. The int8 arm overrides the mixin gate that normally
-        # reserves int8 for inference.
+        # partition. Everything big (batch, encoder params) is a traced
+        # ARGUMENT: closing over device arrays bakes them into the HLO as
+        # constants, and a ~250 MB constant-laden program takes tens of
+        # minutes to ship through the tunnel's compile RPC (observed).
+        # The int8 arm overrides the mixin gate that normally reserves
+        # int8 for inference.
         if int8:
             task.enc_int8_kwargs = lambda train: {"int8": True, "int8_scales": scales}
         else:
             task.enc_int8_kwargs = lambda train: {"int8": False, "int8_scales": None}
 
         @jax.jit
-        def step(hp_, o, s, rng):
+        def step(hp_, enc_p, o, s, bt, rng):
             def lf(hp_):
-                p = {"encoder": jax.lax.stop_gradient(params["encoder"]), **hp_}
-                loss, (ns, _) = task.loss(p, s, batch, rng, train=True)
+                p = {"encoder": jax.lax.stop_gradient(enc_p), **hp_}
+                loss, (ns, _) = task.loss(p, s, bt, rng, train=True)
                 return loss, ns
 
             (loss, ns), g = jax.value_and_grad(lf, has_aux=True)(hp_)
@@ -82,15 +86,18 @@ def main():
 
     results = {}
     for name, int8 in (("bf16 trunk", False), ("int8 trunk", True)):
+        print(f"compiling {name} step (batch {b})...", flush=True)
         step, hp_, opt = make_step(int8)
         s = state
         rng = jax.random.PRNGKey(1)
+        t_c = time.perf_counter()
         for _ in range(args.warmup):
-            hp_, opt, s, loss = step(hp_, opt, s, rng)
+            hp_, opt, s, loss = step(hp_, params["encoder"], opt, s, batch, rng)
         float(loss)
+        print(f"  compiled+warm in {time.perf_counter() - t_c:.1f}s", flush=True)
         t0 = time.perf_counter()
         for _ in range(args.iters):
-            hp_, opt, s, loss = step(hp_, opt, s, rng)
+            hp_, opt, s, loss = step(hp_, params["encoder"], opt, s, batch, rng)
             float(loss)  # per-step host sync: honest timing on axon
         dt = (time.perf_counter() - t0) / args.iters
         results[name] = dt
