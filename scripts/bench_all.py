@@ -6,10 +6,11 @@ of the zoo at reference dims. Pipelined dispatch, every output synced.
     python scripts/bench_all.py [--batch 64] [--iters 10]
 """
 import argparse
+import os
 import sys
 import time
 
-sys.path.insert(0, "/root/repo")
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def pipelined(f, args_, iters, depth=4, warmup=2):

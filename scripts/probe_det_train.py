@@ -9,10 +9,11 @@ Cumulative stages, each a full fwd+bwd+adam step on device-resident data:
     python scripts/probe_det_train.py [--batch 16] [--frozen]
 """
 import argparse
+import os
 import sys
 import time
 
-sys.path.insert(0, "/root/repo")
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def main():

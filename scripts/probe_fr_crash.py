@@ -13,10 +13,11 @@ deltas (see also the HLO diff method: jit(...).lower().as_text() compare).
     python scripts/probe_fr_crash.py [--batch 2] [--no_grad] [--loss_only]
 """
 import argparse
+import os
 import sys
 import time
 
-sys.path.insert(0, "/root/repo")
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def main():

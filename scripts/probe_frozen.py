@@ -11,10 +11,11 @@ the entire encoder backward.
     python scripts/probe_frozen.py [--batch 128]
 """
 import argparse
+import os
 import sys
 import time
 
-sys.path.insert(0, "/root/repo")
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def main():

@@ -6,10 +6,11 @@ speed ceiling before building a real quantized path.
     python scripts/probe_int8.py [--batch 128]
 """
 import argparse
+import os
 import sys
 import time
 
-sys.path.insert(0, "/root/repo")
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def pipelined(f, args_, iters=10, depth=4, warmup=2):

@@ -18,10 +18,11 @@ in-tree, parity-tested.
     python scripts/probe_int8_resident.py [--batch 256]
 """
 import argparse
+import os
 import sys
 import time
 
-sys.path.insert(0, "/root/repo")
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def pipelined(f, args_, iters=10, depth=8, warmup=2):

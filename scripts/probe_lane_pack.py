@@ -12,10 +12,11 @@ FLOPs x16/9 but lane utilization x4.
 """
 import argparse
 import functools
+import os
 import sys
 import time
 
-sys.path.insert(0, "/root/repo")
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def main():

@@ -12,10 +12,11 @@ potentially-duplicate indices) is not. Variants:
 
     python scripts/probe_scatter.py
 """
+import os
 import sys
 import time
 
-sys.path.insert(0, "/root/repo")
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import jax
 import jax.numpy as jnp

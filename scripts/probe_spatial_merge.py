@@ -16,10 +16,11 @@ Stages (batch 32 bf16, the bench_all config):
     python scripts/probe_spatial_merge.py [--batch 32]
 """
 import argparse
+import os
 import sys
 import time
 
-sys.path.insert(0, "/root/repo")
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def pipelined(f, args_, iters=10, depth=4, warmup=2):

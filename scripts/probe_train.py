@@ -4,10 +4,11 @@ and roadmap fine-tune (config 3), compiled step on device-resident data.
     python scripts/probe_train.py [--batch 32]
 """
 import argparse
+import os
 import sys
 import time
 
-sys.path.insert(0, "/root/repo")
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def main():
