@@ -252,3 +252,16 @@ def test_experiment_versioning(data_dir, tmp_path):
     # pinning --version reuses that dir
     r4 = Trainer(max_epochs=1, default_root_dir=root, version=7, **kw).fit(task)
     assert os.sep + "version_7" + os.sep in r4.last_ckpt_path
+
+
+def test_profile_dir_writes_trace(data_dir, tmp_path):
+    """--profile_dir captures a jax.profiler trace of steps 2-8 (re-enabled
+    for all platforms after the axon re-verification, 2026-08-20)."""
+    task = BasicAE(dict(link=data_dir, **TINY))
+    prof = str(tmp_path / "trace")
+    Trainer(max_epochs=1, default_root_dir=str(tmp_path / "logs"),
+            limit_train_batches=4, limit_val_batches=1,
+            enable_progress_bar=False, enable_checkpointing=False,
+            profile_dir=prof).fit(task)
+    files = [os.path.join(r, n) for r, _, ns in os.walk(prof) for n in ns]
+    assert any(n.endswith(".xplane.pb") for n in files), files
