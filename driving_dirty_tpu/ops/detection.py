@@ -369,14 +369,29 @@ def nms_fixed(boxes, scores, iou_threshold: float, max_out: int):
     suppress = (iou > iou_threshold) & tri  # [K, K], row j -> col i
     valid = s > NEG_INF / 2
 
+    # Each while iteration applies the suppression step UNROLL times: the
+    # [K, K] masked reduce is cheap VPU work, while every while-loop
+    # iteration pays fixed TPU control overhead (condition readback) — the
+    # loop is control-bound, not compute-bound (profiled: the NMS whiles are
+    # ~1/3 of detection eval). Exactness is preserved: the map is
+    # deterministic and the greedy prefix-finality argument above rules out
+    # persistent cycles, so a state equal to the state UNROLL steps earlier
+    # can only be the fixpoint.
+    UNROLL = 4
+
+    def one(alive):
+        return ~jnp.any(suppress & alive[:, None], axis=0) & valid
+
     def cond(carry):
         alive, prev, it = carry
         return (it < k) & jnp.any(alive != prev)
 
     def body(carry):
         alive, _, it = carry
-        new = ~jnp.any(suppress & alive[:, None], axis=0) & valid
-        return new, alive, it + 1
+        new = alive
+        for _ in range(UNROLL):
+            new = one(new)
+        return new, alive, it + UNROLL
 
     alive0 = valid
     keep, _, _ = lax.while_loop(
@@ -696,3 +711,45 @@ def _roi_align_old_gather(features, rois, output_size: int = 7, spatial_scale: f
 def batched_roi_align(features, rois, **kw):
     """features [B, H, W, C], rois [B, R, 4] -> [B, R, out, out, C]."""
     return jax.vmap(lambda f, r: roi_align(f, r, **kw))(features, rois)
+
+
+def batched_roi_align_fused(features, rois, output_size: int = 7,
+                            spatial_scale: float = 1.0, sampling_ratio: int = 2,
+                            aligned: bool = False):
+    """Inference-only fused RoIAlign (pallas/roialign.py): same semantics as
+    `batched_roi_align` but the row-pass intermediate stays in VMEM — the
+    XLA separable-matmul path round-trips ~400 MB/image of HBM for it at
+    detection-eval scale (profiled: ~60%% of eval device time). TPU only;
+    no backward (eval never differentiates through pooling)."""
+    from driving_dirty_tpu.pallas.roialign import LANE, ROI_BLOCK, roi_align_fused
+
+    b, h, w, c = features.shape
+    r = rois.shape[1]
+    s = sampling_ratio
+    wp = ((w + LANE - 1) // LANE) * LANE  # lane-aligned per-channel stride
+
+    def mk(rois_img):
+        ys, xs = _roi_sample_coords((h, w, c), rois_img, output_size,
+                                    spatial_scale, s, aligned)
+        by = _interp_matrix(ys, h, output_size, s)
+        bx = _interp_matrix(xs, w, output_size, s)
+        return by.astype(features.dtype), bx.astype(features.dtype)
+
+    by, bx = jax.vmap(mk)(rois)
+    pad = (-r) % ROI_BLOCK
+    if pad:
+        by = jnp.concatenate(
+            [by, jnp.zeros((b, pad) + by.shape[2:], by.dtype)], axis=1)
+        bx = jnp.concatenate(
+            [bx, jnp.zeros((b, pad) + bx.shape[2:], bx.dtype)], axis=1)
+    rp = r + pad
+    # features -> [B, H, C*Wp]: channel-major lanes, W zero-padded to the
+    # 128 lane boundary so the kernel's per-channel slices are aligned
+    f = jnp.transpose(features, (0, 1, 3, 2))         # [B, H, C, W]
+    if wp != w:
+        f = jnp.pad(f, ((0, 0), (0, 0), (0, 0), (0, wp - w)))
+        bx = jnp.pad(bx, ((0, 0), (0, 0), (0, 0), (0, wp - w)))
+    out = roi_align_fused(
+        f.reshape(b, h, c * wp), by.reshape(b, rp * output_size, h), bx,
+        out_size=output_size, c_n=c)
+    return out[:, :r]
