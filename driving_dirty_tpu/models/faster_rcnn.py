@@ -58,7 +58,11 @@ class BBFasterRCNN(Int8TrunkMixin, LabeledDataMixin, Task):
     # --- model -----------------------------------------------------------
     def init(self, rng):
         k_bb, k_head, k_map = jax.random.split(rng, 3)
-        bb_p, bb_s = init_backbone(self.ae, self._ae_params, self._ae_state, k_bb)
+        # c3_only: the detection backbone taps the conv feature map and never
+        # evaluates the encoder's 120M-param dense path — drop it from the
+        # task's param tree (models/pretrained.init_backbone)
+        bb_p, bb_s = init_backbone(self.ae, self._ae_params, self._ae_state,
+                                   k_bb, c3_only=True)
         params = {"encoder": bb_p["encoder"], "head": self.head.init(k_head)}
         if self.uses_roadmap:
             params["mapper_cnn"] = self.mapper_cnn.init(k_map)
@@ -108,7 +112,10 @@ class BBFasterRCNN(Int8TrunkMixin, LabeledDataMixin, Task):
             # backward skips a full trunk recompute. --remat 1 restores the
             # low-memory behavior for larger configs.
             enc_apply = jax.checkpoint(enc_apply)
-        feats, se = enc_apply(params["encoder"], state["encoder"], x)
+        # the c3-only backbone is stateless (no BN on the conv trunk) — a
+        # checkpoint round-trips its empty state tree as None, so tolerate it
+        enc_state = (state or {}).get("encoder", {})
+        feats, se = enc_apply(params["encoder"], enc_state, x)
         return feats, {"encoder": se}
 
     def _targets(self, batch):

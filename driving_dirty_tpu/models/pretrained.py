@@ -49,13 +49,35 @@ def load_pretrained_ae(hparams, *, need_decoder: bool = False):
     return ae, None, None
 
 
-def init_backbone(ae, params, state, rng, *, need_decoder: bool = False):
+_C3_KEYS = ("c1", "c2", "c3")
+
+
+def init_backbone(ae, params, state, rng, *, need_decoder: bool = False,
+                  c3_only: bool = False):
     """Materialize encoder (and optionally decoder) params/state, from the
-    checkpoint when available, otherwise fresh."""
+    checkpoint when available, otherwise fresh.
+
+    c3_only=True keeps ONLY the conv-trunk params (c1/c2/c3) and drops the
+    encoder's dense latent path: the detection/spatial backbones tap the c3
+    feature map and never evaluate fc1/fc2/fc_z_out, yet carrying them
+    costs 120M dead parameters — 1.4 GB of HBM across param + Adam moments
+    and ~2.9 GB of optimizer-update traffic PER STEP once the encoder
+    unfreezes (profiled 2026-08-20: the fc1 Adam fusion alone was 4.4
+    ms/step of the batch-8 detection train step)."""
     if params is not None:
-        return params, state if state is not None else {}
+        out_p, out_s = params, state if state is not None else {}
+        if c3_only:
+            out_p = dict(out_p)
+            out_p["encoder"] = {k: v for k, v in out_p["encoder"].items()
+                                if k in _C3_KEYS}
+            out_s = dict(out_s)
+            out_s["encoder"] = {}
+        return out_p, out_s
     ke, kd = jax.random.split(rng)
     pe, se = ae.encoder.init(ke)
+    if c3_only:
+        pe = {k: v for k, v in pe.items() if k in _C3_KEYS}
+        se = {}
     out_p, out_s = {"encoder": pe}, {"encoder": se}
     if need_decoder:
         pd, sd = ae.decoder.init(kd)

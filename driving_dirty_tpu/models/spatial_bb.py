@@ -61,7 +61,10 @@ class BBSpatialModel(Int8TrunkMixin, LabeledDataMixin, Task):
     # --- model -----------------------------------------------------------
     def init(self, rng):
         k_bb, k_sp, k_mg = jax.random.split(rng, 3)
-        bb_p, bb_s = init_backbone(self.ae, self._ae_params, self._ae_state, k_bb)
+        # c3_only: this backbone taps the conv feature map only — the
+        # encoder's 120M-param dense path is dead weight here (pretrained.py)
+        bb_p, bb_s = init_backbone(self.ae, self._ae_params, self._ae_state,
+                                   k_bb, c3_only=True)
         sp_p, _ = self.space_map_cnn.init(k_sp)
         mg_p, _ = self.box_merge.init(k_mg)
         return (
@@ -74,8 +77,11 @@ class BBSpatialModel(Int8TrunkMixin, LabeledDataMixin, Task):
         images = normalize_images(images, self.compute_dtype)  # --precision 16/8 -> bf16 compute
         spatial, _ = self.space_map_cnn.apply(params["space_map_cnn"], {}, images)
         pano = wide_stitch(images)
+        # stateless c3-only backbone: a checkpoint round-trips the empty
+        # state tree as None — tolerate it
         ssr, se = self.ae.encoder.apply(
-            params["encoder"], state["encoder"], pano, train=train, rng=rng, c3_only=True,
+            params["encoder"], (state or {}).get("encoder", {}), pano,
+            train=train, rng=rng, c3_only=True,
             fast=(not train) and hp(self.hparams, "fast_conv", False),
             **self.enc_int8_kwargs(train),
         )
