@@ -24,6 +24,80 @@ def _save_jpeg(path, arr):
     Image.fromarray((arr * 255).astype(np.uint8)).save(path, quality=90)
 
 
+# --- layout-aligned box painting -------------------------------------------
+#
+# The detection gate needs an image<->box correspondence a conv detector can
+# actually learn. The round-3 generator painted a blob at the SAME view-local
+# position in all six views; after ops.maps.layout_images_as_map tiles the
+# views into the 800x800 square, those blobs land at six positions UNRELATED
+# to the GT box's pixel AABB — with a ~9 px receptive-field c3 trunk the
+# evidence at the box location is pure noise, and 45 epochs of val_ats = 0.0
+# was the CORRECT output for that task (VERDICT r3 item 1c). The fix: invert
+# the layout transform and paint each box's pixel AABB into the exact view
+# pixels that layout_images_as_map will place at that AABB, colored by
+# category so the classifier head has signal too.
+#
+# Tile geometry mirrors ops/maps.py:layout_images_as_map(size=800):
+#   rows of heights [266, 266, 268], two 400-wide columns,
+#   grid [[BL, FL], [B(ccw), F(cw)], [BR(flip), FR(flip)]];
+# camera indices follow IMAGE_NAMES order (FL=0, F=1, FR=2, BL=3, B=4, BR=5).
+_LAYOUT_TILES = (
+    # (cam, y0, h, x0, w, orient)
+    (3, 0, 266, 0, 400, "id"),      # CAM_BACK_LEFT
+    (0, 0, 266, 400, 400, "id"),    # CAM_FRONT_LEFT
+    (4, 266, 266, 0, 400, "ccw"),   # CAM_BACK  (rot90 CCW before resize)
+    (1, 266, 266, 400, 400, "cw"),  # CAM_FRONT (rot90 CW before resize)
+    (5, 532, 268, 0, 400, "flip"),  # CAM_BACK_RIGHT  (flipped both axes)
+    (2, 532, 268, 400, 400, "flip"),  # CAM_FRONT_RIGHT
+)
+
+# distinct RGB per category 1..8 (0 = background, never painted)
+_CATEGORY_COLORS = np.array(
+    [
+        [1.0, 0.1, 0.1], [0.1, 1.0, 0.1], [0.1, 0.1, 1.0], [1.0, 1.0, 0.1],
+        [1.0, 0.1, 1.0], [0.1, 1.0, 1.0], [1.0, 1.0, 1.0], [1.0, 0.6, 0.1],
+    ]
+)
+
+
+def _invert_orient(orient, oy0, oy1, ox0, ox1):
+    """Oriented-view rect -> original-view rect (float, exclusive upper)."""
+    if orient == "id":
+        return oy0, oy1, ox0, ox1
+    if orient == "ccw":  # out[i, j] = in[j, W-1-i]  (in 256x306 -> out 306x256)
+        return ox0, ox1, IMAGE_W - oy1, IMAGE_W - oy0
+    if orient == "cw":  # out[i, j] = in[H-1-j, i]
+        return IMAGE_H - ox1, IMAGE_H - ox0, oy0, oy1
+    # flip both axes
+    return IMAGE_H - oy1, IMAGE_H - oy0, IMAGE_W - ox1, IMAGE_W - ox0
+
+
+def paint_layout_rect(views, x0, y0, x1, y1, color, size=800):
+    """Paint `color` into the camera views exactly where the layout transform
+    will place the pixel rect [x0, x1) x [y0, y1) of the square layout image.
+
+    `views`: list/dict-values of six [IMAGE_H, IMAGE_W, 3] float arrays in
+    IMAGE_NAMES order. Coordinates are layout-image pixels (x = col, y = row),
+    i.e. the frame of ops.coords.corners_to_aabb targets.
+    """
+    assert size == 800, "tile geometry is precomputed for the 800px layout"
+    for cam, ty0, th, tx0, tw, orient in _LAYOUT_TILES:
+        cx0, cx1 = max(x0, tx0), min(x1, tx0 + tw)
+        cy0, cy1 = max(y0, ty0), min(y1, ty0 + th)
+        if cx1 <= cx0 or cy1 <= cy0:
+            continue
+        oh, ow = (IMAGE_W, IMAGE_H) if orient in ("ccw", "cw") else (IMAGE_H, IMAGE_W)
+        # tile-local -> oriented-view coords (undo the bilinear resize scale)
+        oy0, oy1 = (cy0 - ty0) * oh / th, (cy1 - ty0) * oh / th
+        ox0, ox1 = (cx0 - tx0) * ow / tw, (cx1 - tx0) * ow / tw
+        vy0, vy1, vx0, vx1 = _invert_orient(orient, oy0, oy1, ox0, ox1)
+        ry0, ry1 = int(np.floor(vy0)), int(np.ceil(vy1))
+        rx0, rx1 = int(np.floor(vx0)), int(np.ceil(vx1))
+        ry0, ry1 = max(0, ry0), min(IMAGE_H, max(ry1, ry0 + 1))
+        rx0, rx1 = max(0, rx0), min(IMAGE_W, max(rx1, rx0 + 1))
+        views[cam][ry0:ry1, rx0:rx1, :] = color
+
+
 def _make_scene(root, scene_id, n_samples, rng, labeled, rows, fixed_road=False,
                 structured=False, paint_boxes=False):
     for s in range(n_samples):
@@ -54,6 +128,7 @@ def _make_scene(root, scene_id, n_samples, rng, labeled, rows, fixed_road=False,
             r0, c0 = (300, 300) if fixed_road else rng.randint(100, 500, 2)
             ego[r0 : r0 + 200, c0 : c0 + 200] = 128  # a road blob (non-white)
             Image.fromarray(ego).save(os.path.join(d, "ego.png"))
+            views = [imgs[n] for n in IMAGE_NAMES]
             for _ in range(rng.randint(1, 5)):
                 cx, cy = rng.uniform(-30, 30, 2)
                 w, h = rng.uniform(1, 3), rng.uniform(2, 5)
@@ -61,29 +136,34 @@ def _make_scene(root, scene_id, n_samples, rng, labeled, rows, fixed_road=False,
                 R = np.array([[np.cos(ang), -np.sin(ang)], [np.sin(ang), np.cos(ang)]])
                 local = np.array([[+w, +w, -w, -w], [+h, -h, +h, -h]])
                 pts = R @ local + np.array([[cx], [cy]])
+                # painted mode keeps categories off 0: the pipeline feeds raw
+                # category ids where 0 collides with the background label
+                # (reference quirk, bb_fast_rcnn.py:172-188) and eval drops
+                # class 0 — a category-0 GT box is undetectable by design, so
+                # a learnability gate must not generate any
+                category = int(rng.randint(1, 9)) if paint_boxes else int(rng.randint(0, 9))
                 rows.append(
                     dict(
                         scene=scene_id,
                         sample=s,
-                        category_id=int(rng.randint(0, 9)),
+                        category_id=category,
                         action_id=int(rng.randint(0, 4)),
                         fl_x=pts[0, 0], fr_x=pts[0, 1], bl_x=pts[0, 2], br_x=pts[0, 3],
                         fl_y=pts[1, 0], fr_y=pts[1, 1], bl_y=pts[1, 2], br_y=pts[1, 3],
                     )
                 )
                 if paint_boxes:
-                    # paint the box into every view at a position linear in
-                    # its BEV center, size proportional to the box — a
-                    # deterministic image<->box correspondence the detector
-                    # can learn (the pure-noise default gives it nothing).
-                    # The layout transform is fixed, so this brightness lands
-                    # at a deterministic layout-image location per (cx, cy).
-                    px = int((cx + 40.0) / 80.0 * IMAGE_W)
-                    py = int((cy + 40.0) / 80.0 * IMAGE_H)
-                    hw = max(2, int(w * 3))
-                    hh = max(2, int(h * 3))
-                    for img in imgs.values():
-                        img[max(0, py - hh):py + hh, max(0, px - hw):px + hw, :] = 1.0
+                    # paint the box's pixel AABB into the exact view pixels the
+                    # layout transform maps onto it (see paint_layout_rect),
+                    # colored by category — so detection evidence appears at
+                    # the target location in the detector's input, within the
+                    # trunk's receptive field, with class signal
+                    px = pts[0] * 10.0 + 400.0
+                    py = -pts[1] * 10.0 + 400.0  # corners_to_aabb y-flip
+                    paint_layout_rect(
+                        views, px.min(), py.min(), px.max(), py.max(),
+                        _CATEGORY_COLORS[category - 1],
+                    )
         for name, img in imgs.items():
             _save_jpeg(os.path.join(d, name), img)
 

@@ -217,7 +217,85 @@ class BBFasterRCNN(Int8TrunkMixin, LabeledDataMixin, Task):
             scores.append(float(ats_bounding_boxes(boxes_m[j][valid[j]], gt_j)))
         # (value, weight): the mean covers only images with GT boxes, so the
         # trainer must weight this batch by that count — not the batch size
-        return {"val_ats": (float(np.mean(scores)), float(len(scores)))} if scores else {}
+        out = {"val_ats": (float(np.mean(scores)), float(len(scores)))} if scores else {}
+        # detections clearing the score floor, per val image (weight = images)
+        n_imgs = int(np.sum(bmask[: len(gt)]))
+        if n_imgs:
+            out["val_det_kept"] = (float(valid[: len(bmask)][bmask].sum(1).mean()),
+                                   float(n_imgs))
+        if hp(self.hparams, "val_diag", True):
+            out.update(self._stage_diagnostics(params, state, batch, bmask))
+        return out
+
+    _host_diag = None
+
+    def _stage_diagnostics(self, params, state, batch, bmask):
+        """Stage-wise detection diagnostics (VERDICT r3 item 1a), logged per
+        epoch so a zero val_ats localizes to a pipeline stage:
+
+          val_rpn_recall — fraction of GT boxes matched (axis-aligned
+                           IoU >= 0.5) by some valid post-NMS proposal;
+          val_prop_cov   — mean over GT of the best proposal IoU;
+          val_cls_acc    — on each GT's best-matching proposal (IoU >= 0.5),
+                           argmax class posterior == the GT's label.
+
+        All weights are GT-box counts, matching the trainer's per-key
+        weighted host-hook aggregation."""
+        import numpy as np
+
+        if self._host_diag is None:
+
+            def diag(p, s, im, rd):
+                feats, _ = self.backbone_features(
+                    p, s, im, rd if self.uses_roadmap else None,
+                    train=False, rng=jax.random.PRNGKey(0),
+                )
+                return self.head.forward_diag(p["head"], feats)
+
+            self._host_diag = jax.jit(diag)
+
+        d = self._host_diag(params, state, batch["images"], batch.get("road"))
+        rois = np.asarray(d["rois"], np.float32)        # [b, P, 4]
+        rv = np.asarray(d["roi_valid"])                 # [b, P]
+        cls = np.asarray(d["cls"], np.float32)          # [b, P, K]
+        gtb = np.asarray(corners_to_aabb(batch["boxes"]), np.float32)
+        gtv = np.asarray(batch["box_valid"])
+        gtl = np.asarray(batch["categories"])
+        rec, cov, acc = [], [], []
+        for j in range(min(len(bmask), len(gtb))):
+            if not bmask[j] or not gtv[j].any():
+                continue
+            g = gtb[j][gtv[j]]                          # [G, 4]
+            r = rois[j][rv[j]]                          # [V, 4]
+            labels = gtl[j][gtv[j]]
+            if len(r) == 0:
+                rec += [0.0] * len(g)
+                cov += [0.0] * len(g)
+                continue
+            # axis-aligned IoU [V, G]
+            x0 = np.maximum(r[:, None, 0], g[None, :, 0])
+            y0 = np.maximum(r[:, None, 1], g[None, :, 1])
+            x1 = np.minimum(r[:, None, 2], g[None, :, 2])
+            y1 = np.minimum(r[:, None, 3], g[None, :, 3])
+            inter = np.clip(x1 - x0, 0, None) * np.clip(y1 - y0, 0, None)
+            area_r = (r[:, 2] - r[:, 0]) * (r[:, 3] - r[:, 1])
+            area_g = (g[:, 2] - g[:, 0]) * (g[:, 3] - g[:, 1])
+            iou = inter / np.maximum(area_r[:, None] + area_g[None, :] - inter, 1e-9)
+            best = iou.max(0)                           # [G]
+            bidx = iou.argmax(0)
+            rec += list((best >= 0.5).astype(np.float64))
+            cov += list(best.astype(np.float64))
+            pred = cls[j][rv[j]][bidx].argmax(-1)       # [G]
+            for gi in range(len(g)):
+                if best[gi] >= 0.5:
+                    acc.append(float(pred[gi] == labels[gi]))
+        out = {}
+        if rec:
+            out["val_rpn_recall"] = (float(np.mean(rec)), float(len(rec)))
+            out["val_prop_cov"] = (float(np.mean(cov)), float(len(cov)))
+        if acc:
+            out["val_cls_acc"] = (float(np.mean(acc)), float(len(acc)))
+        return out
 
     # --- optimization ----------------------------------------------------
     def learning_rate(self):
@@ -249,6 +327,10 @@ class BBFasterRCNN(Int8TrunkMixin, LabeledDataMixin, Task):
         parser.add_argument("--mse_loss", action="store_true", default=False)
         parser.add_argument("--val_ats", type=int, default=1, choices=[0, 1],
                             help="compute the box threat score (val_ats) during validation")
+        parser.add_argument("--val_diag", type=int, default=1, choices=[0, 1],
+                            help="log stage-wise detection diagnostics "
+                                 "(val_rpn_recall, val_prop_cov, val_cls_acc) "
+                                 "each validation epoch")
         parser.add_argument("--val_ats_score_thresh", type=float, default=0.05,
                             help="score floor for detections entering val_ats; "
                                  "default = the eval pipeline's box_score_thresh "

@@ -362,3 +362,15 @@ class FasterRCNNHead:
         cls, reg = self.box_predictions(params, emb)
         scores = jax.nn.softmax(cls, axis=-1)
         return self.postprocess_detections(rois, rv, scores, reg)
+
+    def forward_diag(self, params, features):
+        """Stage-wise eval tap for validation diagnostics (VERDICT r3 item
+        1a): exposes the post-NMS RPN proposals and the per-proposal class
+        posteriors so the host can localize a zero ATS to a stage — RPN
+        recall, proposal coverage, or classifier accuracy — instead of
+        seeing only the end-to-end metric."""
+        obj, dl = self.rpn_forward(params, features)
+        rois, rv, _ = self.proposals(obj, dl, train=False)
+        emb = self.roi_features(params, features, rois)
+        cls, _ = self.box_predictions(params, emb)
+        return {"rois": rois, "roi_valid": rv, "cls": jax.nn.softmax(cls, axis=-1)}

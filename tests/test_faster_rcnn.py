@@ -100,7 +100,7 @@ def test_val_ats_plumbing_gt_roundtrip():
     (VERDICT r1 item 4: metric plumbing sanity for the training-loop ATS)."""
     from driving_dirty_tpu.ops.coords import corners_to_aabb
 
-    task = BBFasterRCNN(TINY)
+    task = BBFasterRCNN({**TINY, "val_diag": 0})  # predict() faked below
     batch = _batch(img=TINY["image_size"])
     b, max_bb = batch["boxes"].shape[:2]
     aabb = corners_to_aabb(batch["boxes"])  # GT as pixel AABBs
@@ -154,3 +154,41 @@ def test_predict_chunking_pads_non_multiple_batches():
     for k in out:
         np.testing.assert_allclose(
             np.asarray(out[k]), np.asarray(ref[k]), atol=2e-5, err_msg=k)
+
+
+def test_stage_diagnostics_real_model():
+    """host_val_metrics with val_diag on runs the real stage-wise tap and
+    returns well-formed (value, weight) diagnostics (VERDICT r3 item 1a)."""
+    task = BBFasterRCNN(TINY)
+    params, state = task.init(jax.random.PRNGKey(0))
+    batch = _batch(img=TINY["image_size"])
+    m = task.host_val_metrics(params, state, batch, np.ones(1, bool))
+    assert "val_rpn_recall" in m and "val_prop_cov" in m
+    for key in ("val_rpn_recall", "val_prop_cov"):
+        val, w = m[key]
+        assert 0.0 <= val <= 1.0
+        assert w == 2.0  # two GT boxes in the batch
+    if "val_cls_acc" in m:
+        val, w = m["val_cls_acc"]
+        assert 0.0 <= val <= 1.0 and 0 < w <= 2.0
+    assert "val_det_kept" in m
+
+
+def test_perfect_proposals_give_full_recall_and_coverage():
+    """If the proposal stage returns the GT AABBs themselves, the diagnostics
+    must report recall 1.0 / coverage 1.0 — pins the IoU/matching math."""
+    from driving_dirty_tpu.ops.coords import corners_to_aabb
+
+    task = BBFasterRCNN(TINY)
+    batch = _batch(img=TINY["image_size"])
+    aabb = corners_to_aabb(batch["boxes"])  # [1, max_bb, 4]
+    k = task.cfg.num_classes
+    # fake the jitted diag tap: GT boxes as proposals, uniform class scores
+    task._host_diag = lambda p, s, im, rd: {
+        "rois": aabb,
+        "roi_valid": batch["box_valid"],
+        "cls": jnp.ones((1, aabb.shape[1], k)) / k,
+    }
+    m = task._stage_diagnostics({}, {}, batch, np.ones(1, bool))
+    assert m["val_rpn_recall"][0] == pytest.approx(1.0)
+    assert m["val_prop_cov"][0] == pytest.approx(1.0)

@@ -19,6 +19,7 @@ TINY = dict(
     ae_hidden_dim=8, ae_latent_dim=8, max_bb=8,
     image_size=128, rpn_pre_nms_top_n=64, rpn_post_nms_top_n=16,
     box_batch_per_image=8,
+    val_diag=0,  # these tests fake predict(); stage diagnostics need the real model
 )
 
 # GT: one 10x10 m box centred on the ego car. Meter corners [fl, fr, bl, br]:
