@@ -184,11 +184,18 @@ class AsyncWriter:
                     kwargs = self._pending.pop(path, None)
                 if kwargs is None:
                     continue  # coalesced into a newer save for this path
+                on_written = kwargs.pop("on_written", None)
                 # host-get first, releasing device buffers before the write
                 for k in self._ARRAY_KEYS:
                     if kwargs.get(k) is not None:
                         kwargs[k] = jax.device_get(kwargs[k])
                 save(path, **kwargs)
+                if on_written is not None:
+                    # post-write hook (e.g. refreshing the task-level
+                    # last.ckpt symlink): runs only after os.replace landed,
+                    # so consumers following the link never see ENOENT
+                    # (ADVICE r3: link-before-write dangled)
+                    on_written()
             except BaseException as e:  # noqa: BLE001 — surfaced on next call
                 self._exc = e
             finally:
@@ -199,8 +206,10 @@ class AsyncWriter:
             exc, self._exc = self._exc, None
             raise exc
 
-    def save(self, path, *, eager_get=False, **kwargs):
+    def save(self, path, *, eager_get=False, on_written=None, **kwargs):
         self._check()
+        if on_written is not None:
+            kwargs["on_written"] = on_written
         if eager_get:
             for k in self._ARRAY_KEYS:
                 if kwargs.get(k) is not None:

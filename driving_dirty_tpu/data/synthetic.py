@@ -99,7 +99,8 @@ def paint_layout_rect(views, x0, y0, x1, y1, color, size=800):
 
 
 def _make_scene(root, scene_id, n_samples, rng, labeled, rows, fixed_road=False,
-                structured=False, paint_boxes=False):
+                structured=False, paint_boxes=False, road_from_tint=False,
+                road_noise=None, paint_scale=(30.0, 150.0)):
     for s in range(n_samples):
         d = os.path.join(root, f"scene_{scene_id}", f"sample_{s}")
         os.makedirs(d, exist_ok=True)
@@ -122,17 +123,73 @@ def _make_scene(root, scene_id, n_samples, rng, labeled, rows, fixed_road=False,
             from PIL import Image
 
             ego = np.full((800, 800, 3), 255, np.uint8)
-            # fixed_road: deterministic blob so a model can actually FIT the
-            # target (the random-position blob is uncorrelated with the noise
-            # camera images) — used by the convergence-gate tests
-            r0, c0 = (300, 300) if fixed_road else rng.randint(100, 500, 2)
+            if road_from_tint:
+                # Re-armed roadmap gate target (VERDICT r3 item 3): the road
+                # blob's position is a FUNCTION OF THE IMAGES — tint buckets
+                # pick one of a 3x3 grid of positions — so the task tests
+                # representation transfer (a constant prediction can't ace
+                # it, unlike the old fixed blob that saturated TS at 1.0).
+                # Requires structured=True (tint must be visible in views).
+                assert structured, "road_from_tint needs structured images"
+                gi = min(int(tint[0] / 0.5 * 3), 2)
+                gj = min(int(tint[1] / 0.5 * 3), 2)
+                r0, c0 = 100 + gi * 200, 100 + gj * 200
+            elif fixed_road:
+                # deterministic blob so a model can actually FIT the target
+                # (the random-position blob is uncorrelated with the images)
+                r0, c0 = 300, 300
+            else:
+                r0, c0 = rng.randint(100, 500, 2)
             ego[r0 : r0 + 200, c0 : c0 + 200] = 128  # a road blob (non-white)
+            if road_noise is not None:
+                # Irreducible label noise caps achievable TS at a computable
+                # mid-range ceiling so the gate carries information at both
+                # ends (VERDICT r3 weak 2: a metric at 1.0 registers no
+                # regressions). p_drop on road pixels -> white, p_add on
+                # background -> gray. With a 200x200 blob, p=(0.2, 0.01):
+                # optimal TS = 0.8*A / (A + 0.8*A + 0.01*(640000-A) - 0.8*A)
+                #            = 32000 / 46000 ~= 0.70.
+                p_drop, p_add = road_noise
+                flip = rng.rand(800, 800)
+                road_px = (ego[..., 0] == 128)
+                ego[road_px & (flip < p_drop)] = 255
+                ego[(~road_px) & (flip < p_add)] = 128
             Image.fromarray(ego).save(os.path.join(d, "ego.png"))
             views = [imgs[n] for n in IMAGE_NAMES]
             for _ in range(rng.randint(1, 5)):
                 cx, cy = rng.uniform(-30, 30, 2)
-                w, h = rng.uniform(1, 3), rng.uniform(2, 5)
-                ang = rng.uniform(0, np.pi)
+                if paint_boxes:
+                    # Box extents from `paint_scale` (px, log-uniform),
+                    # near-axis-aligned so pixel AABBs match the sampled
+                    # shape. Two measured failure modes (scripts/
+                    # probe_det_learn.py) shape the gate's choice of range:
+                    # (1) anchor types with no labeled examples at painted
+                    # cells undergo score inflation through the shared RPN
+                    # feature (pos_in_top2000 0.08 -> 0.00 while AUC climbs
+                    # to 0.91) — boxes must span the anchor set in use;
+                    # (2) the reference-parity c3 trunk has an ~11 px
+                    # receptive field, so for boxes much larger than it all
+                    # interior cells are indistinguishable and pre-NMS top-k
+                    # selection degenerates into a tie lottery over ~200k
+                    # anchors (AUC 0.81, recall 0) — a LEARNABILITY gate
+                    # must keep boxes within the RF (~10-18 px with small
+                    # anchors to match).
+                    s_px = np.exp(rng.uniform(*np.log(paint_scale)))
+                    if paint_scale[0] == paint_scale[1]:
+                        # degenerate range = single-scale mode: square,
+                        # axis-aligned — one anchor type suffices and the
+                        # task isolates localization from scale selection
+                        ratio, ang = 1.0, 0.0
+                    else:
+                        ratio = np.exp(rng.uniform(np.log(0.5), np.log(2.0)))
+                        ang = rng.choice([0.0, np.pi / 2]) + rng.randn() * 0.06
+                    w = s_px / np.sqrt(ratio) / 20.0  # half-extent, meters
+                    h = s_px * np.sqrt(ratio) / 20.0
+                    lim = 38.0 - max(w, h)
+                    cx, cy = np.clip([cx, cy], -lim, lim)
+                else:
+                    w, h = rng.uniform(1, 3), rng.uniform(2, 5)
+                    ang = rng.uniform(0, np.pi)
                 R = np.array([[np.cos(ang), -np.sin(ang)], [np.sin(ang), np.cos(ang)]])
                 local = np.array([[+w, +w, -w, -w], [+h, -h, +h, -h]])
                 pts = R @ local + np.array([[cx], [cy]])
@@ -169,7 +226,8 @@ def _make_scene(root, scene_id, n_samples, rng, labeled, rows, fixed_road=False,
 
 
 def generate(out, scenes=2, samples=4, labeled_scenes=2, seed=0, fixed_road=False,
-             structured=False, paint_boxes=False):
+             structured=False, paint_boxes=False, road_from_tint=False,
+             road_noise=None, paint_scale=(30.0, 150.0)):
     import pandas as pd
 
     rng = np.random.RandomState(seed)
@@ -181,7 +239,8 @@ def generate(out, scenes=2, samples=4, labeled_scenes=2, seed=0, fixed_road=Fals
     for i in range(labeled_scenes):
         _make_scene(out, 106 + i, samples, rng, labeled=True, rows=rows,
                     fixed_road=fixed_road, structured=structured,
-                    paint_boxes=paint_boxes)
+                    paint_boxes=paint_boxes, road_from_tint=road_from_tint,
+                    road_noise=road_noise, paint_scale=paint_scale)
     pd.DataFrame(rows).to_csv(os.path.join(out, "annotation.csv"), index=False)
     return out
 
@@ -202,10 +261,19 @@ def main(argv=None):
     ap.add_argument("--paint-boxes", action="store_true",
                     help="paint GT boxes into the camera views so detection "
                          "has an image->box correspondence to learn")
+    ap.add_argument("--road-from-tint", action="store_true",
+                    help="road blob position determined by the per-sample "
+                         "tint (image-dependent target; needs --structured)")
+    ap.add_argument("--road-noise", type=float, nargs=2, default=None,
+                    metavar=("P_DROP", "P_ADD"),
+                    help="flip road pixels to background (P_DROP) and "
+                         "background to road (P_ADD): caps achievable TS "
+                         "at a mid-range ceiling")
     a = ap.parse_args(argv)
     generate(a.out, a.scenes, a.samples, a.labeled_scenes, a.seed,
              fixed_road=a.fixed_road, structured=a.structured,
-             paint_boxes=a.paint_boxes)
+             paint_boxes=a.paint_boxes, road_from_tint=a.road_from_tint,
+             road_noise=tuple(a.road_noise) if a.road_noise else None)
     print(f"synthetic dataset written to {a.out}")
 
 

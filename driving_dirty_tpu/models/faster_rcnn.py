@@ -44,8 +44,27 @@ class BBFasterRCNN(Int8TrunkMixin, LabeledDataMixin, Task):
         self.batch_size = hp(h, "batch_size", 6)
         self.unfreeze_epoch_no = hp(h, "unfreeze_epoch_no", 10) or 10
         self.ae, self._ae_params, self._ae_state = load_pretrained_ae(h)
+        sizes = hp(h, "anchor_sizes", (32, 64, 128, 256, 512))
+        if isinstance(sizes, str):
+            sizes = tuple(int(s) for s in sizes.split(","))
+        ratios = hp(h, "anchor_ratios", (0.5, 1.0, 2.0))
+        if isinstance(ratios, str):
+            ratios = tuple(float(s) for s in ratios.split(","))
+        dil = hp(h, "rpn_head_dilations", ()) or ()
+        if isinstance(dil, str):
+            dil = tuple(int(s) for s in dil.split(",") if s)
         self.cfg = DetectionConfig(
             image_size=hp(h, "image_size", 800),
+            # default = torchvision's AnchorGenerator sizes the reference
+            # uses (bb_fast_rcnn.py:61-62); tunable because anchor/object
+            # scale match is a first-order detection-quality knob — types
+            # with no labeled examples at object locations suffer score
+            # inflation through the shared RPN feature (see
+            # scripts/probe_det_learn.py + data/synthetic.py box sampling)
+            anchor_sizes=tuple(sizes),
+            anchor_ratios=tuple(ratios),
+            rpn_head_dilations=tuple(dil),
+            rpn_head_norm=bool(hp(h, "rpn_head_norm", False)),
             rpn_pre_nms_top_n=hp(h, "rpn_pre_nms_top_n", 2000),
             rpn_post_nms_top_n=hp(h, "rpn_post_nms_top_n", 1000),
             exact_topk=bool(hp(h, "exact_topk", False)),
@@ -318,6 +337,22 @@ class BBFasterRCNN(Int8TrunkMixin, LabeledDataMixin, Task):
         parser.add_argument("--batch_size", type=int, default=6)
         parser.add_argument("--unfreeze_epoch_no", type=int, default=10)
         parser.add_argument("--max_bb", type=int, default=100)
+        parser.add_argument("--anchor_sizes", type=str, default="32,64,128,256,512",
+                            help="comma-separated anchor sizes (px); the default "
+                                 "is the reference's torchvision config")
+        parser.add_argument("--anchor_ratios", type=str, default="0.5,1.0,2.0",
+                            help="comma-separated anchor aspect ratios")
+        parser.add_argument("--rpn_head_dilations", type=str, default="",
+                            help="comma-separated dilations for extra RPN-head "
+                                 "3x3 convs (e.g. '4,8,16,32'). Empty (default) "
+                                 "= torchvision-parity single-conv head. The "
+                                 "reference backbone's ~7 px receptive field is "
+                                 "far below its anchor sizes; this expands the "
+                                 "RPN head's RF so objectness can localize "
+                                 "(see nn/detection.DetectionConfig)")
+        parser.add_argument("--rpn_head_norm", type=int, default=0, choices=[0, 1],
+                            help="per-cell RMS norm in the RPN head (bounds "
+                                 "padding-artifact score scales; 0 = parity)")
         parser.add_argument("--rpn_pre_nms_top_n", type=int, default=2000)
         parser.add_argument("--exact_topk", type=int, default=0, choices=[0, 1],
                             help="exact lax.top_k proposal selection instead of "

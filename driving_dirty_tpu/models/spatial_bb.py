@@ -127,6 +127,25 @@ class BBSpatialModel(Int8TrunkMixin, LabeledDataMixin, Task):
             return batched_boxes_to_binary_map(batch["boxes"], batch["box_valid"])
         return jax.vmap(boxes_to_binary_map)(batch["boxes"], batch["box_valid"])
 
+    def param_sharding_rules(self, path, leaf):
+        """Channel tensor-parallelism for the spatial/merge heads (VERDICT r3
+        item 6/7: the 800x800 ConvT chain previously replicated). Conv and
+        ConvT weights are HWIO ([kh, kw, in, out]); sharding the OUT-channel
+        dim over 'model' makes each device compute a channel slice of the
+        [b, 800, 800, C] activations — the one axis that parallelizes these
+        convs without spatial halo exchange. Only channel counts divisible
+        by 8 shard (covers every 8/16/32/64/96-channel stage for model axes
+        up to 8); the 1-channel output stage and the shared conv trunk
+        replicate."""
+        from jax.sharding import PartitionSpec as P
+
+        if path[0] in ("box_merge", "space_map_cnn"):
+            if path[-1] == "w" and leaf.ndim == 4 and leaf.shape[-1] % 8 == 0:
+                return P(None, None, None, "model")
+            if path[-1] == "b" and leaf.ndim == 1 and leaf.shape[0] % 8 == 0:
+                return P("model")
+        return None
+
     def loss(self, params, state, batch, rng, *, train: bool):
         target = self._targets(batch)
         road = batch["road"] if self.uses_roadmap else None

@@ -76,6 +76,27 @@ class DetectionConfig:
     # exact_topk=True restores bitwise torchvision-style selection.
     exact_topk: bool = False
     mlp_dim: int = 1024
+    # Extra dilated 3x3 convs in the RPN head, applied after the standard
+    # rpn_conv. Default EMPTY = torchvision-parity single-conv head. The
+    # reference's c3 backbone has a ~7 px receptive field — far below its
+    # own anchor sizes (32..512) — so RPN objectness physically cannot tell
+    # a box center from any other box-interior cell, and pre-NMS top-k
+    # degenerates into a tie lottery (measured: AUC 0.91 with recall ~0,
+    # scripts/probe_det_learn.py). Each extra conv with dilation d adds
+    # 2*d*feat_stride px of RF; (4, 8, 16, 32) brings the head to ~250 px
+    # at stride 2, covering mid-size anchors. ~37k extra params.
+    rpn_head_dilations: tuple = ()
+    # Per-cell RMS normalization inside the RPN head (after each ReLU).
+    # Default OFF = parity. The c3 trunk has no normalization anywhere, so
+    # zero-padding artifacts compound through the conv stack and make
+    # border/corner cells' activation MAGNITUDE extreme — at init the
+    # entire pre-NMS top-2000 lands in the image corners (reproduced on
+    # synthetic data: all proposals within ~40 px of corners, IoU 0.0 with
+    # every interior GT) and training wrestles the artifact instead of the
+    # task. Normalizing each cell's feature vector to unit RMS bounds every
+    # cell's score scale; salience must then be expressed in feature
+    # DIRECTION, which is learnable signal rather than init pathology.
+    rpn_head_norm: bool = False
 
     @property
     def num_anchors_per_cell(self):
@@ -94,6 +115,11 @@ class FasterRCNNHead:
         c = cfg.backbone_channels
         a = cfg.num_anchors_per_cell
         self.rpn_conv = L.Conv2d(c, c, 3, 1, 1)
+        # optional RF-expansion stack (cfg.rpn_head_dilations); empty = parity
+        self.rpn_extra = {
+            f"rpn_conv_d{d}": L.Conv2d(c, c, 3, 1, d, d)
+            for d in cfg.rpn_head_dilations
+        }
         self.rpn_cls = L.Conv2d(c, a, 1)
         self.rpn_reg = L.Conv2d(c, 4 * a, 1)
         flat = cfg.roi_output_size * cfg.roi_output_size * c
@@ -104,8 +130,8 @@ class FasterRCNNHead:
         self._anchors = None
 
     def init(self, key):
-        ks = jax.random.split(key, 7)
-        return {
+        ks = jax.random.split(key, 7 + len(self.rpn_extra))
+        params = {
             "rpn_conv": self.rpn_conv.init(ks[0]),
             "rpn_cls": self.rpn_cls.init(ks[1]),
             "rpn_reg": self.rpn_reg.init(ks[2]),
@@ -114,6 +140,28 @@ class FasterRCNNHead:
             "cls_score": self.cls_score.init(ks[5]),
             "bbox_pred": self.bbox_pred.init(ks[6]),
         }
+        for i, (name, conv) in enumerate(self.rpn_extra.items()):
+            params[name] = conv.init(ks[7 + i])
+        # torchvision init semantics (a REAL parity knob, not cosmetics):
+        # RPNHead convs are normal(std=0.01) + zero bias, FastRCNNPredictor
+        # cls_score std=0.01 / bbox_pred std=0.001 + zero bias. The layer
+        # default (He-uniform) puts O(1) deltas on every anchor at init —
+        # decode then rescales boxes by up to exp(1.3) ~= 3.6x and the
+        # pre-NMS top-k rides structured init noise instead of starting
+        # near the anchor grid (measured: all init proposals degenerate,
+        # IoU 0 with every GT).
+        def renorm(p, key, std):
+            p["w"] = std * jax.random.normal(key, p["w"].shape, p["w"].dtype)
+            if "b" in p:
+                p["b"] = jnp.zeros_like(p["b"])
+
+        kn = jax.random.split(ks[0], 4)
+        renorm(params["rpn_conv"], kn[0], 0.01)
+        renorm(params["rpn_cls"], kn[1], 0.01)
+        renorm(params["rpn_reg"], kn[2], 0.01)
+        renorm(params["cls_score"], kn[3], 0.01)
+        renorm(params["bbox_pred"], jax.random.split(kn[3])[0], 0.001)
+        return params
 
     # ------------------------------------------------------------------
     def anchors(self):
@@ -128,7 +176,16 @@ class FasterRCNNHead:
     def rpn_forward(self, params, features):
         """features [b, Hf, Wf, C] -> (objectness [b, N], deltas [b, N, 4])."""
         cfg = self.cfg
-        t = jax.nn.relu(self.rpn_conv.apply(params["rpn_conv"], features))
+
+        def norm(t):
+            if not cfg.rpn_head_norm:
+                return t
+            return t * jax.lax.rsqrt(
+                jnp.mean(jnp.square(t), axis=-1, keepdims=True) + 1e-6)
+
+        t = norm(jax.nn.relu(self.rpn_conv.apply(params["rpn_conv"], features)))
+        for name, conv in self.rpn_extra.items():
+            t = norm(jax.nn.relu(conv.apply(params[name], t)))
         obj = self.rpn_cls.apply(params["rpn_cls"], t)            # [b, Hf, Wf, A]
         reg = self.rpn_reg.apply(params["rpn_reg"], t)            # [b, Hf, Wf, 4A]
         b = features.shape[0]

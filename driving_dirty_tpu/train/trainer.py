@@ -72,6 +72,33 @@ def _bool_mask_to_arrays(params, bool_mask):
     )
 
 
+def _prune_to_template(loaded, template, where: str):
+    """Intersect a loaded checkpoint subtree with the model's current tree.
+
+    Keys the template lacks are dropped (returned in `pruned` for the resume
+    log); keys the template has but the checkpoint lacks raise — silently
+    training fresh leaves inside a "resumed" run would corrupt the result.
+    Handles the c3-only param-tree slimming (models/pretrained.init_backbone):
+    older checkpoints carry the encoder's dense path that current detection/
+    spatial tasks no longer instantiate (ADVICE r3)."""
+    pruned: set = set()
+
+    def rec(ld, tp, path):
+        if isinstance(tp, dict) and isinstance(ld, dict):
+            missing = set(tp) - set(ld)
+            if missing:
+                raise ValueError(
+                    f"checkpoint {where} is missing {sorted(missing)} under "
+                    f"'{path or '<root>'}' — not resumable into this model")
+            pruned.update(f"{path}/{k}" if path else str(k)
+                          for k in set(ld) - set(tp))
+            return {k: rec(ld[k], tp[k], f"{path}/{k}" if path else str(k))
+                    for k in tp}
+        return ld
+
+    return rec(loaded, template, ""), pruned
+
+
 @dataclass
 class FitResult:
     params: object
@@ -333,11 +360,17 @@ class Trainer:
         # (RESOURCE_EXHAUSTED reproduced at hidden=128 — an A/B with
         # checkpointing disabled runs clean). Stalling the loop for the
         # transfer (write still backgrounded) is the correct trade there.
+        run_dir = os.path.dirname(path)
+        link_name = os.path.basename(path)
         self._ckpt_writer.save(
             path, eager_get=self.donate_buffers or _on_axon_platform(),
             params=params, state=state, opt_state=opt_state,
             hparams=vars(task.hparams), meta=meta,
             extra={"rng": np.asarray(jax.device_get(rng))},
+            # refresh <task>/last.ckpt (or best.ckpt) only AFTER the file is
+            # on disk — linking at enqueue time dangles until the background
+            # write finishes (ADVICE r3)
+            on_written=lambda: self._link_latest(run_dir, link_name),
         )
         if sync:
             self._ckpt_writer.wait()
@@ -354,8 +387,11 @@ class Trainer:
         task_dir = os.path.join(self.root, task_name)
         if resume_from:
             d = os.path.dirname(os.path.realpath(resume_from))
+            # realpath BOTH sides: a symlink inside default_root_dir itself
+            # would otherwise break the comparison and silently allocate a
+            # fresh version instead of resuming in place (ADVICE r3)
             if re.fullmatch(r"version_\d+", os.path.basename(d)) and (
-                os.path.dirname(os.path.abspath(d)) == os.path.abspath(task_dir)
+                os.path.dirname(d) == os.path.realpath(task_dir)
             ):
                 return d
         if self.version is not None:
@@ -385,8 +421,14 @@ class Trainer:
         task_dir = os.path.dirname(run_dir)
         link = os.path.join(task_dir, name)
         try:
-            if os.path.islink(link) or os.path.exists(link):
+            if os.path.islink(link):
                 os.remove(link)
+            elif os.path.exists(link):
+                # a REGULAR file here is a pre-versioning checkpoint (the
+                # old layout wrote <task>/last.ckpt directly); deleting it
+                # would destroy a prior run's only checkpoint — leave it and
+                # skip the convenience link (ADVICE r3, medium)
+                return
             os.symlink(os.path.join(os.path.basename(run_dir), name), link)
         except OSError:
             pass  # convenience only; the versioned path is authoritative
@@ -406,9 +448,24 @@ class Trainer:
         resume_blob = None
         if resume_from:
             resume_blob = ckpt_io.load(resume_from)
-            params = jax.tree.map(jnp.asarray, resume_blob["params"])
+            loaded_params, pruned = _prune_to_template(
+                resume_blob["params"], params, f"{task.name} params")
+            params = jax.tree.map(jnp.asarray, loaded_params)
+            if pruned:
+                # e.g. a pre-c3-only detection/spatial checkpoint carrying the
+                # full encoder (fc1/fc2/fc_z_out) resumed into a task whose
+                # tree now keeps only the conv trunk (ADVICE r3): drop the
+                # extra leaves instead of crashing optax with a misleading
+                # leaf-count error. Optimizer moments can't be name-matched
+                # through the flat saved leaf list, so they restart fresh.
+                print(f"[{task.name}] resume: dropped params absent from the "
+                      f"current model ({', '.join(sorted(pruned))}); "
+                      "optimizer state restarts fresh")
+                resume_blob["opt_state"] = None
             if resume_blob.get("state") is not None:
-                state = jax.tree.map(jnp.asarray, resume_blob["state"])
+                loaded_state, _ = _prune_to_template(
+                    resume_blob["state"], state, f"{task.name} state")
+                state = jax.tree.map(jnp.asarray, loaded_state)
             meta = resume_blob.get("meta", {})
             if meta.get("mid_epoch") and "batch_in_epoch" in meta:
                 # exact mid-epoch resume: same epoch, skip consumed batches
@@ -568,7 +625,6 @@ class Trainer:
                         best_val=best_val, plateau_wait=plateau_wait, lr=lr,
                         sync=self._preempted,
                     )
-                    self._link_latest(run_dir, "last.ckpt")
                 if self._preempted:
                     reason = stop_reason or "preemption signal"
                     saved = "checkpoint saved, " if self.enable_checkpointing else ""
@@ -654,13 +710,11 @@ class Trainer:
                         best_path, task, ck[0], ck[1], ck[2], rng, meta=meta,
                         best_val=best_val, plateau_wait=plateau_wait, lr=lr,
                     )
-                    self._link_latest(run_dir, "best.ckpt")
                 last_path = os.path.join(run_dir, "last.ckpt")
                 self._save_ckpt(
                     last_path, task, ck[0], ck[1], ck[2], rng, meta=meta,
                     best_val=best_val, plateau_wait=plateau_wait, lr=lr,
                 )
-                self._link_latest(run_dir, "last.ckpt")
 
         logger.close()
         if self._ckpt_writer is not None:

@@ -1,20 +1,25 @@
 """Real-TPU convergence gate: the models must LEARN, not just optimize.
 
-Round-3 targets (VERDICT r2 item 5 — the closest available proxy to
-BASELINE.md's 0.8529 val TS, since no real dataset exists in any environment
-this repo has run in):
+Round-4 targets (VERDICT r3 items 1 + 3 — each bar carries information at
+BOTH ends; no metric saturates and no single blip passes):
 
   1. BasicAE:          val MSE drops > 30% on a structured (cross-view
                        correlated) synthetic set — the pretext task has real
                        signal here, unlike pure noise.
-  2. RoadMapBCEv2:     val TS > 0.5 on the learnable fixed-road target.
-  3. FasterRCNNRoadMap val_ats > 0 at the eval score floor (0.05) on a set
-                       whose camera views have the GT boxes painted in.
+  2. RoadMapBCEv2:     SSL-transfer A/B on the image-dependent,
+                       noise-capped road target (ceiling ~0.70): frozen
+                       PRETRAINED encoder must land in a mid-range TS band
+                       AND beat the frozen RANDOM encoder arm — the
+                       reference pipeline's transfer premise, measured.
+  3. FasterRCNNRoadMap sustained val_ats >= 0.05 over the final 5 epochs
+                       AND final RPN recall >= 0.8 on layout-aligned
+                       painted boxes (probe-validated learnable config:
+                       scripts/probe_det_learn.py).
 
 Run on the real TPU (no JAX_PLATFORMS override):
 
     python scripts/run_tpu_gate.py [--out artifacts/convergence_gate]
-    python scripts/run_tpu_gate.py --stages det --det_epochs 40   # rerun one
+    python scripts/run_tpu_gate.py --stages det --det_epochs 100  # rerun one
 
 Copies each run's metrics JSONL to <out>/tpu_<task>.jsonl and writes/merges
 <out>/tpu_gate_summary.json with the per-gate verdicts.
@@ -49,14 +54,23 @@ def read_series(path, key):
     return [v for _, v in sorted(out)]
 
 
-def run_fit(task, epochs, args):
+def run_fit(task, epochs, args, out_name=None):
     from driving_dirty_tpu.train.trainer import Trainer
 
     r = Trainer(max_epochs=epochs, default_root_dir=args.logs,
                 log_every_n_steps=5, enable_progress_bar=True).fit(task)
     mp = metrics_path(args.logs, task.name)
-    shutil.copy(mp, os.path.join(args.out, f"tpu_{task.name}.jsonl"))
+    shutil.copy(mp, os.path.join(args.out, f"tpu_{out_name or task.name}.jsonl"))
     return r, mp
+
+
+def find_ae_ckpt(args):
+    """Latest AE checkpoint from a prior gate-1 run (for --stages rm alone)."""
+    for name in ("best.ckpt", "last.ckpt"):
+        paths = sorted(glob.glob(os.path.join(args.logs, "basic_ae", "version_*", name)))
+        if paths:
+            return paths[-1]
+    raise SystemExit("no basic_ae checkpoint under --logs; run the ae stage first")
 
 
 def gate_ae(args, summary):
@@ -78,21 +92,44 @@ def gate_ae(args, summary):
 
 
 def gate_rm(args, summary, pretrained):
+    """Re-armed roadmap gate (VERDICT r3 item 3): FROZEN-encoder fine-tune on
+    the image-dependent noise-capped road target, run as an SSL-transfer A/B:
+
+      arm 'pre'  — encoder from the gate-1 pretrained AE,
+      arm 'rand' — encoder random-init (pretrained_path=None),
+
+    both frozen for the whole run so only representation quality differs
+    (the reference pipeline's premise, roadmap_pretrain_ae.py:43-47). Gates:
+    TS_pre inside a mid-range band (the label noise caps the ceiling at
+    ~0.70 — see data/synthetic.py road_noise) AND TS_pre > TS_rand by a
+    positive transfer delta."""
     from driving_dirty_tpu.models.roadmap import RoadMapBCEv2
 
-    print("== gate 2: RoadMapBCEv2 ==", flush=True)
-    rm = RoadMapBCEv2(dict(pretrained_path=pretrained,
-                           batch_size=8, learning_rate=1e-2, precision=16,
-                           unfreeze_epoch_no=0,
-                           num_labeled_scenes=args.scenes, **args.data_kw))
-    _, mp = run_fit(rm, args.rm_epochs, args)
-    ts = read_series(mp, "val_ts_rounded")
-    best_ts = max(ts) if ts else 0.0
-    summary["roadmap"] = {"val_ts_last": ts[-1] if ts else None,
-                          "val_ts_best": best_ts, "target": "> 0.5",
-                          "ok": best_ts > 0.5}
-    print(f"roadmap val TS best {best_ts:.4f}: "
-          f"{'OK' if summary['roadmap']['ok'] else 'FAIL'}", flush=True)
+    print("== gate 2: RoadMapBCEv2 (SSL-transfer A/B) ==", flush=True)
+    pretrained = pretrained or find_ae_ckpt(args)
+
+    def arm(tag, pre):
+        rm = RoadMapBCEv2(dict(pretrained_path=pre,
+                               batch_size=8, learning_rate=1e-2, precision=16,
+                               unfreeze_epoch_no=10**6,  # frozen throughout
+                               num_labeled_scenes=args.scenes, **args.data_kw))
+        _, mp = run_fit(rm, args.rm_epochs, args, out_name=f"roadmap_{tag}")
+        ts = read_series(mp, "val_ts_rounded")
+        return (max(ts) if ts else 0.0), (ts[-1] if ts else None)
+
+    best_pre, last_pre = arm("pre", pretrained)
+    best_rand, last_rand = arm("rand", None)
+    delta = best_pre - best_rand
+    band = (0.35, 0.92)
+    ok = (band[0] <= best_pre <= band[1]) and delta > 0.0
+    summary["roadmap"] = {
+        "val_ts_pretrained_best": best_pre, "val_ts_pretrained_last": last_pre,
+        "val_ts_random_best": best_rand, "val_ts_random_last": last_rand,
+        "ssl_transfer_delta": delta, "band": list(band),
+        "target": f"band {band} + delta > 0", "ok": ok,
+    }
+    print(f"roadmap TS pre {best_pre:.4f} vs rand {best_rand:.4f} "
+          f"(delta {delta:+.4f}): {'OK' if ok else 'FAIL'}", flush=True)
 
 
 def gate_det(args, summary):
@@ -102,16 +139,39 @@ def gate_det(args, summary):
     det = FasterRCNNRoadMap(dict(pretrained_path=None, batch_size=4,
                                  learning_rate=args.det_lr, precision=16,
                                  unfreeze_epoch_no=0, max_bb=16,
+                                 # the probe-validated learnable config
+                                 # (scripts/probe_det_learn.py reaches ATS
+                                 # 0.12 / recall 0.75 by step 400): single
+                                 # 44 px box scale + matching single anchor
+                                 # type, dilated+normed RPN head for the
+                                 # receptive field the reference trunk
+                                 # lacks — see nn/detection.DetectionConfig
+                                 # for the measured failure modes
+                                 anchor_sizes=(44,), anchor_ratios=(1.0,),
+                                 rpn_head_dilations=(4, 8, 16),
+                                 rpn_head_norm=1,
                                  val_ats=1, val_ats_score_thresh=0.05,
                                  num_labeled_scenes=args.scenes, **args.data_kw))
     _, mp = run_fit(det, args.det_epochs, args)
     ats = read_series(mp, "val_ats")
-    best_ats = max(ats) if ats else 0.0
-    summary["detection"] = {"val_ats_last": ats[-1] if ats else None,
-                            "val_ats_best": best_ats, "target": "> 0",
-                            "ok": best_ats > 0.0}
-    print(f"detection val_ats best {best_ats:.4f}: "
-          f"{'OK' if summary['detection']['ok'] else 'FAIL'}", flush=True)
+    rec = read_series(mp, "val_rpn_recall")
+    # Re-armed bar (VERDICT r3 item 1): a single lucky blip no longer
+    # passes — the detector must SUSTAIN val_ats >= 0.05 across the final
+    # five epochs AND end with RPN recall >= 0.8 (the stage-wise diagnostic
+    # that localizes a failure to the proposal stage).
+    sustained = min(ats[-5:]) if len(ats) >= 5 else 0.0
+    rec_last = rec[-1] if rec else 0.0
+    ok = sustained >= 0.05 and rec_last >= 0.8
+    summary["detection"] = {
+        "val_ats_last": ats[-1] if ats else None,
+        "val_ats_best": max(ats) if ats else 0.0,
+        "val_ats_sustained_last5": sustained,
+        "val_rpn_recall_last": rec_last,
+        "target": "min(val_ats[-5:]) >= 0.05 and rpn_recall >= 0.8",
+        "ok": ok,
+    }
+    print(f"detection val_ats last5-min {sustained:.4f}, rpn_recall "
+          f"{rec_last:.4f}: {'OK' if ok else 'FAIL'}", flush=True)
 
 
 def main():
@@ -141,8 +201,10 @@ def main():
     if not os.path.isdir(args.data):
         print("generating structured synthetic dataset...", flush=True)
         generate(args.data, scenes=args.scenes, samples=args.samples,
-                 labeled_scenes=args.scenes, seed=0, fixed_road=True,
-                 structured=True, paint_boxes=True)
+                 labeled_scenes=args.scenes, seed=0,
+                 structured=True, paint_boxes=True,
+                 road_from_tint=True, road_noise=(0.2, 0.01),
+                 paint_scale=(44.0, 44.0))
     os.makedirs(args.out, exist_ok=True)
     summary = {}
     prior = os.path.join(args.out, "tpu_gate_summary.json")
