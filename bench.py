@@ -322,7 +322,7 @@ def main(argv=None):
     ap.add_argument("--iters", type=int, default=20)
     ap.add_argument("--precision", type=int, default=8, choices=[8, 16, 32],
                     help="8 (default) = int8-quantized conv trunk with static "
-                         "calibrated scales (inference-only, ops/quant.py; >99% "
+                         "calibrated scales (inference-only, ops/quant.py; >99%% "
                          "mask agreement vs float). 16 = bf16 (3145 scenes/s).")
     ap.add_argument("--fast_conv", type=int, default=0, choices=[0, 1],
                     help="blocked space-to-depth encoder convs (ops/fastconv.py)")
