@@ -301,6 +301,16 @@ def measure_zoo(eval_batch=64, train_batch=16, iters=8):
               {"images": t_images[:tb], "road": t_road[:tb],
                "boxes": jnp.asarray(boxes), "box_valid": jnp.asarray(bvalid),
                "categories": jnp.asarray(cats)})
+    sp_t = BBSpatialRoadMap(dict(common, batch_size=tb, unfreeze_epoch_no=0))
+    sp_t.current_epoch = 0
+    train_row("spatial_rm", sp_t,
+              {"images": t_images[:tb], "road": t_road[:tb],
+               "boxes": jnp.asarray(boxes), "box_valid": jnp.asarray(bvalid)})
+    mt_t = MultiTask(dict(common, batch_size=tb, unfreeze_epoch_no=0))
+    mt_t.current_epoch = 0
+    train_row("multitask", mt_t,
+              {"images": t_images[:tb], "road": t_road[:tb],
+               "boxes": jnp.asarray(boxes), "box_valid": jnp.asarray(bvalid)})
     return rows
 
 
