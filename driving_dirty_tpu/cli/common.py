@@ -19,6 +19,36 @@ import numpy as np
 import jax
 
 
+def cache_fingerprint() -> str:
+    """Fingerprint for the persistent-cache directory name.
+
+    XLA's own cache key does NOT cover XLA:CPU's AOT target-feature set:
+    tuning features like +prefer-no-gather are chosen from the CPU *model*,
+    not the raw cpuid flags, so a flags-only key (rounds 2-4) let entries
+    baked on another machine load with cpu_aot_loader SIGILL warnings
+    (MULTICHIP_r04). Key by jaxlib version + CPU model name + flags: any of
+    those changing yields a fresh directory and a clean cold compile.
+    """
+    import hashlib
+
+    try:
+        import jaxlib
+
+        bits = [getattr(jaxlib, "__version__", "unknown")]
+    except ImportError:
+        bits = ["no-jaxlib"]
+    try:
+        with open("/proc/cpuinfo") as f:
+            for line in f:
+                if line.startswith(("model name", "flags")):
+                    bits.append(line.strip())
+                if len(bits) >= 3:
+                    break
+    except OSError:
+        pass
+    return hashlib.sha1("\n".join(bits).encode()).hexdigest()[:10]
+
+
 def enable_compilation_cache(path: str | None = None):
     """Persist XLA compilations across processes (first compiles of the big
     detection programs take minutes on a tunneled TPU; cached reloads are
@@ -26,17 +56,7 @@ def enable_compilation_cache(path: str | None = None):
     if path is None:
         path = os.environ.get("DD_COMPILATION_CACHE")
     if path is None:
-        # Key by host CPU features: XLA:CPU AOT entries baked for another
-        # machine SIGILL on execution (cache key doesn't cover the target).
-        import hashlib
-
-        try:
-            with open("/proc/cpuinfo") as f:
-                flags = next((l for l in f if l.startswith("flags")), "")
-        except OSError:
-            flags = ""
-        fp = hashlib.sha1(flags.encode()).hexdigest()[:10]
-        path = f"/tmp/dd_jax_cache_{fp}"
+        path = f"/tmp/dd_jax_cache_{cache_fingerprint()}"
     try:
         jax.config.update("jax_compilation_cache_dir", path)
         jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)

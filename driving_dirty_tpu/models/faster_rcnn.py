@@ -22,6 +22,8 @@ real eval-mode losses instead; keep-latest behavior is preserved by design.
 """
 from __future__ import annotations
 
+import dataclasses
+
 import jax
 import jax.numpy as jnp
 
@@ -69,10 +71,44 @@ class BBFasterRCNN(Int8TrunkMixin, LabeledDataMixin, Task):
             rpn_post_nms_top_n=hp(h, "rpn_post_nms_top_n", 1000),
             exact_topk=bool(hp(h, "exact_topk", False)),
             box_batch_per_image=hp(h, "box_batch_per_image", 512),
+            # --label_offset 1 = torchvision's actual convention (background
+            # 0, classes 1..9): the reference feeds RAW category ids where
+            # class 0 collides with background (bb_fast_rcnn.py:69,172-188)
+            # — a category-0 GT box is undetectable by design. Default 0
+            # keeps reference parity; the offset grows the classifier by
+            # `offset` classes and shifts labels in/out at the task boundary
+            # (measured A/B: artifacts/det_label_offset_ab.json).
+            num_classes=9 + hp(h, "label_offset", 0),
         )
+        self.label_offset = hp(h, "label_offset", 0)
         self.head = FasterRCNNHead(self.cfg)
+        # Cold-start de-risking (VERDICT r4 item 4, measured in
+        # artifacts/approx_exact_ab.json): from-scratch takeoff is
+        # path-sensitive to approx_max_k's ~0.95-recall proposal selection —
+        # one A/B arm stalled entirely where the exact arm took off. Exact
+        # top-k costs 28 vs 3.4 ms per 8 images, so running it ONLY for the
+        # first K optimizer steps buys deterministic early proposal coverage
+        # for ~zero steady-state cost. Same param pytree (cfg change is
+        # compute-only); the trainer specializes one extra program via
+        # step_variant(). 0 disables; irrelevant when exact_topk is on.
+        self.exact_topk_warmup_steps = hp(h, "exact_topk_warmup_steps", 500)
+        self._warmup_head = (
+            FasterRCNNHead(dataclasses.replace(self.cfg, exact_topk=True))
+            if self.exact_topk_warmup_steps and not self.cfg.exact_topk
+            else None
+        )
+        self._active_head = self.head
         if self.uses_roadmap:
             self.mapper_cnn = L.Conv2d(4, 3, 3, 1, 1)
+
+    def step_variant(self, global_step: int):
+        """Trainer hook: hashable key of the compiled-step variant active at
+        this optimizer step; also swaps the head the next trace will use."""
+        if self._warmup_head is not None and global_step < self.exact_topk_warmup_steps:
+            self._active_head = self._warmup_head
+            return "exact_topk_warmup"
+        self._active_head = self.head
+        return None
 
     # --- model -----------------------------------------------------------
     def init(self, rng):
@@ -139,7 +175,8 @@ class BBFasterRCNN(Int8TrunkMixin, LabeledDataMixin, Task):
 
     def _targets(self, batch):
         gt_boxes = corners_to_aabb(batch["boxes"])  # [b, G, 4] pixel xyxy
-        return gt_boxes, batch["box_valid"], batch["categories"].astype(jnp.int32)
+        cats = batch["categories"].astype(jnp.int32) + self.label_offset
+        return gt_boxes, batch["box_valid"], cats
 
     def loss(self, params, state, batch, rng, *, train: bool):
         k_bb, k_det = jax.random.split(rng)
@@ -147,7 +184,7 @@ class BBFasterRCNN(Int8TrunkMixin, LabeledDataMixin, Task):
             params, state, batch["images"], batch.get("road"), train=train, rng=k_bb
         )
         gt_boxes, gt_valid, gt_labels = self._targets(batch)
-        losses = self.head.forward_train(
+        losses = self._active_head.forward_train(
             params["head"], feats, gt_boxes, gt_valid, gt_labels, k_det
         )
         total = sum(losses.values())
@@ -164,7 +201,11 @@ class BBFasterRCNN(Int8TrunkMixin, LabeledDataMixin, Task):
 
         def run(im, rd):
             feats, _ = self.backbone_features(params, state, im, rd, train=False, rng=rng)
-            return self.head.forward_eval(params["head"], feats)
+            dets = self.head.forward_eval(params["head"], feats)
+            if self.label_offset:
+                # report RAW dataset category ids to consumers
+                dets = dict(dets, labels=dets["labels"] - self.label_offset)
+            return dets
 
         b = images.shape[0]
         ch = self.predict_chunk
@@ -279,7 +320,8 @@ class BBFasterRCNN(Int8TrunkMixin, LabeledDataMixin, Task):
         cls = np.asarray(d["cls"], np.float32)          # [b, P, K]
         gtb = np.asarray(corners_to_aabb(batch["boxes"]), np.float32)
         gtv = np.asarray(batch["box_valid"])
-        gtl = np.asarray(batch["categories"])
+        # compare in the classifier's label space (shifted when label_offset)
+        gtl = np.asarray(batch["categories"]) + self.label_offset
         rec, cov, acc = [], [], []
         for j in range(min(len(bmask), len(gtb))):
             if not bmask[j] or not gtv[j].any():
@@ -357,6 +399,15 @@ class BBFasterRCNN(Int8TrunkMixin, LabeledDataMixin, Task):
         parser.add_argument("--exact_topk", type=int, default=0, choices=[0, 1],
                             help="exact lax.top_k proposal selection instead of "
                                  "TPU approx_max_k (slower; bitwise torchvision-style)")
+        parser.add_argument("--exact_topk_warmup_steps", type=int, default=500,
+                            help="use exact top-k proposal selection for the "
+                                 "first N optimizer steps (cold-start takeoff "
+                                 "de-risking; 0 disables)")
+        parser.add_argument("--label_offset", type=int, default=0,
+                            help="shift category ids by N for the classifier "
+                                 "(1 = torchvision convention: background=0, "
+                                 "classes 1..9; default 0 = reference parity "
+                                 "incl. the category-0/background collision)")
         parser.add_argument("--rpn_post_nms_top_n", type=int, default=1000)
         parser.add_argument("--box_batch_per_image", type=int, default=512)
         parser.add_argument("--mse_loss", action="store_true", default=False)

@@ -44,8 +44,12 @@ class MultiTask(Int8TrunkMixin, LabeledDataMixin, Task):
         self.ae, self._ae_params, self._ae_state = load_pretrained_ae(h)
         self.latent_dim = self.ae.latent_dim
         self.rm_head = L.Linear(self.latent_dim, 800 * 800)
-        self.space_map_cnn = SpatialMappingCNN()
-        self.box_merge = BoxesMergingCNN()
+        # see models/spatial_bb.py: "small" = same network, reduced geometry
+        # (dryrun/sharding tests); the roadmap head stays 800x800 regardless.
+        self.geometry = hp(h, "spatial_geometry", "reference")
+        self.space_map_cnn = SpatialMappingCNN(geometry=self.geometry)
+        self.box_merge = BoxesMergingCNN(geometry=self.geometry)
+        self.raster_size = self.box_merge.raster_size
 
     # --- model -----------------------------------------------------------
     def init(self, rng):
@@ -113,11 +117,13 @@ class MultiTask(Int8TrunkMixin, LabeledDataMixin, Task):
         }
 
     def _box_targets(self, batch):
-        if jax.default_backend() in ("tpu", "axon"):
+        if self.raster_size == 800 and jax.default_backend() in ("tpu", "axon"):
             from driving_dirty_tpu.pallas.raster import batched_boxes_to_binary_map
 
             return batched_boxes_to_binary_map(batch["boxes"], batch["box_valid"])
-        return jax.vmap(boxes_to_binary_map)(batch["boxes"], batch["box_valid"])
+        return jax.vmap(
+            lambda b, v: boxes_to_binary_map(b, v, size=self.raster_size)
+        )(batch["boxes"], batch["box_valid"])
 
     def loss(self, params, state, batch, rng, *, train: bool):
         rm_logits, box_probs, new_state = self.forward(

@@ -55,8 +55,15 @@ class BBSpatialModel(Int8TrunkMixin, LabeledDataMixin, Task):
         self.mse_loss = hp(h, "mse_loss", False)
         self.unfreeze_epoch_no = hp(h, "unfreeze_epoch_no", 20) or 20
         self.ae, self._ae_params, self._ae_state = load_pretrained_ae(h)
-        self.space_map_cnn = SpatialMappingCNN()
-        self.box_merge = self.merge_cls()
+        # "reference" (default) is the exact reference architecture at
+        # 256x306 views / 800x800 rasters; "small" is the same network with
+        # geometry re-solved for 64x78 views (nn/spatial.py GEOMETRIES) —
+        # identical pytree/sharding structure at ~25x less conv work, used by
+        # the multi-chip dryrun and fast sharding tests.
+        self.geometry = hp(h, "spatial_geometry", "reference")
+        self.space_map_cnn = SpatialMappingCNN(geometry=self.geometry)
+        self.box_merge = self.merge_cls(geometry=self.geometry)
+        self.raster_size = self.box_merge.raster_size
 
     # --- model -----------------------------------------------------------
     def init(self, rng):
@@ -120,12 +127,15 @@ class BBSpatialModel(Int8TrunkMixin, LabeledDataMixin, Task):
 
     def _targets(self, batch):
         # Pallas kernel on TPU (streams row tiles, no [N, 800, 800] mask stack,
-        # compiles in seconds); jnp path elsewhere (Mosaic is TPU-only).
-        if jax.default_backend() in ("tpu", "axon"):
+        # compiles in seconds); jnp path elsewhere (Mosaic is TPU-only) and
+        # for non-reference raster sizes (the Pallas kernel is 800-pinned).
+        if self.raster_size == 800 and jax.default_backend() in ("tpu", "axon"):
             from driving_dirty_tpu.pallas.raster import batched_boxes_to_binary_map
 
             return batched_boxes_to_binary_map(batch["boxes"], batch["box_valid"])
-        return jax.vmap(boxes_to_binary_map)(batch["boxes"], batch["box_valid"])
+        return jax.vmap(
+            lambda b, v: boxes_to_binary_map(b, v, size=self.raster_size)
+        )(batch["boxes"], batch["box_valid"])
 
     def param_sharding_rules(self, path, leaf):
         """Channel tensor-parallelism for the spatial/merge heads (VERDICT r3

@@ -74,6 +74,10 @@ class Encoder:
     input_height: int = 256
     input_width: int = 306 * 6
     pooling_size: int = 4
+    # dropout probability of the two DenseBlocks (reference fixes 0.2,
+    # components.py:103; configurable so deterministic A/B runs — e.g. the
+    # torch training-dynamics parity test — can zero it on both sides)
+    drop_p: float = 0.2
 
     def _convs(self):
         return (
@@ -108,8 +112,8 @@ class Encoder:
     def init(self, key):
         c1, c2, c3 = self._convs()
         cod = self.conv_out_dim()
-        fc1 = DenseBlock(cod, self.hidden_dim)
-        fc2 = DenseBlock(self.hidden_dim, self.hidden_dim)
+        fc1 = DenseBlock(cod, self.hidden_dim, self.drop_p)
+        fc2 = DenseBlock(self.hidden_dim, self.hidden_dim, self.drop_p)
         fcz = L.Linear(self.hidden_dim, self.latent_dim)
         k = _split(key, 6)
         p_fc1, s_fc1 = fc1.init(k[3])
@@ -144,8 +148,8 @@ class Encoder:
         r1, r2 = _split(rng, 2)
         bn = L.BatchNorm(self.hidden_dim)
         z, s1bn = bn.apply(fc1["bn"], state["fc1"]["bn"], z, train=train)
-        z = L.dropout(r1, jax.nn.relu(z), 0.2, train=train)
-        fc2 = DenseBlock(self.hidden_dim, self.hidden_dim)
+        z = L.dropout(r1, jax.nn.relu(z), self.drop_p, train=train)
+        fc2 = DenseBlock(self.hidden_dim, self.hidden_dim, self.drop_p)
         z, s2 = fc2.apply(params["fc2"], state["fc2"], z, train=train, rng=r2)
         z = L.Linear(self.hidden_dim, self.latent_dim).apply(params["fc_z_out"], z)
         return z, {"fc1": {"bn": s1bn}, "fc2": s2}
@@ -202,8 +206,8 @@ class Encoder:
         x = L.max_pool_flat(x, self.pooling_size)
         r1, r2 = _split(rng, 2)
         cod = self.conv_out_dim()
-        fc1 = DenseBlock(cod, self.hidden_dim)
-        fc2 = DenseBlock(self.hidden_dim, self.hidden_dim)
+        fc1 = DenseBlock(cod, self.hidden_dim, self.drop_p)
+        fc2 = DenseBlock(self.hidden_dim, self.hidden_dim, self.drop_p)
         x, s1 = fc1.apply(params["fc1"], state["fc1"], x, train=train, rng=r1)
         x, s2 = fc2.apply(params["fc2"], state["fc2"], x, train=train, rng=r2)
         z = L.Linear(self.hidden_dim, self.latent_dim).apply(params["fc_z_out"], x)
@@ -229,6 +233,7 @@ class Decoder:
     in_channels: int = 3
     output_height: int = 256
     output_width: int = 306
+    drop_p: float = 0.2  # see Encoder.drop_p
 
     @property
     def deconv_dims(self):
@@ -244,8 +249,8 @@ class Decoder:
 
     def init(self, key):
         h, w = self.deconv_dims
-        fc1 = DenseBlock(self.latent_dim, self.hidden_dim)
-        fc2 = DenseBlock(self.hidden_dim, h * w * 64)
+        fc1 = DenseBlock(self.latent_dim, self.hidden_dim, self.drop_p)
+        fc2 = DenseBlock(self.hidden_dim, h * w * 64, self.drop_p)
         dcs = self._deconvs()
         k = _split(key, 6)
         p_fc1, s_fc1 = fc1.init(k[0])
@@ -257,8 +262,8 @@ class Decoder:
 
     def apply(self, params, state, z, *, train: bool, rng):
         h, w = self.deconv_dims
-        fc1 = DenseBlock(self.latent_dim, self.hidden_dim)
-        fc2 = DenseBlock(self.hidden_dim, h * w * 64)
+        fc1 = DenseBlock(self.latent_dim, self.hidden_dim, self.drop_p)
+        fc2 = DenseBlock(self.hidden_dim, h * w * 64, self.drop_p)
         r1, r2 = _split(rng, 2)
         x, s1 = fc1.apply(params["fc1"], state["fc1"], z, train=train, rng=r1)
         x, s2 = fc2.apply(params["fc2"], state["fc2"], x, train=train, rng=r2)

@@ -161,6 +161,10 @@ class FasterRCNNHead:
         renorm(params["rpn_reg"], kn[2], 0.01)
         renorm(params["cls_score"], kn[3], 0.01)
         renorm(params["bbox_pred"], jax.random.split(kn[3])[0], 0.001)
+        # the optional dilated RPN convs are part of the same head: keep the
+        # init scheme consistent with rpn_conv (ADVICE r4)
+        for i, name in enumerate(self.rpn_extra):
+            renorm(params[name], jax.random.fold_in(kn[0], i + 1), 0.01)
         return params
 
     # ------------------------------------------------------------------

@@ -27,6 +27,51 @@ def _split(key, n):
     return jax.random.split(key, n)
 
 
+# Resolution presets for the spatial pipeline. "reference" is the exact
+# architecture of /root/reference/src/bounding_box_model/spatial_bb/
+# components.py (256x306 camera views -> 256x256 BEV grid -> 800x800 raster)
+# — the parity contract. "small" is the same NETWORK (identical layer names,
+# channel counts, orientation/tiling topology, and therefore identical
+# parameter-pytree structure and tensor-parallel sharding behavior) with
+# kernel geometry re-solved for 64x78 views -> 64x64 grid -> 148/152-px
+# rasters: ~25x less conv work, used by multi-chip dry runs and fast tests
+# where the partitioning, not the resolution, is under test. Each entry is
+# checked by tests/test_spatial_geometry.py against the concat constraints.
+GEOMETRIES = {
+    "reference": dict(
+        view_hw=(256, 306),
+        grid_hw=(256, 256),
+        side=dict(kernel_size=(1, 50), stride=(3, 2), padding=0),
+        axial=dict(kernel_size=(52, 1), stride=(3, 2), padding=1),
+        ss=dict(kernel_size=(1, 24), stride=(1, 7), padding=0),
+        # ConvTranspose stages as (in, out, k, s, p, out_pad, dilation)
+        boxes_up=[(64, 32, 8, 1, 0, 0, 8), (32, 16, 8, 1, 0, 0, 8),
+                  (16, 8, 6, 1, 0, 2, 6), (8, 1, 2, 2, 0, 0, 1)],
+        boxes_raster=800,
+        rm_conv_1=dict(kernel_size=7, stride=3, padding=1, dilation=3),
+        rm_up=[(96, 64, 7, 1, 0, 0, 7), (64, 32, 7, 1, 0, 0, 7),
+               (32, 16, 7, 1, 0, 0, 7), (16, 8, 7, 1, 0, 0, 3),
+               (8, 1, 2, 2, 0, 0, 1)],
+        rm_raster=800,
+    ),
+    "small": dict(
+        view_hw=(64, 78),
+        grid_hw=(64, 64),
+        side=dict(kernel_size=(1, 14), stride=(3, 2), padding=0),
+        axial=dict(kernel_size=(13, 1), stride=(3, 2), padding=(0, 1)),
+        ss=dict(kernel_size=(1, 17), stride=(1, 7), padding=0),
+        boxes_up=[(64, 32, 3, 1, 0, 0, 2), (32, 16, 3, 1, 0, 0, 2),
+                  (16, 8, 3, 1, 0, 0, 1), (8, 1, 2, 2, 0, 0, 1)],
+        boxes_raster=148,
+        rm_conv_1=dict(kernel_size=8, stride=2, padding=1, dilation=2),
+        rm_up=[(96, 64, 3, 1, 0, 0, 2), (64, 32, 3, 1, 0, 0, 2),
+               (32, 16, 3, 1, 0, 0, 1), (16, 8, 3, 1, 0, 0, 1),
+               (8, 1, 2, 2, 0, 0, 1)],
+        rm_raster=152,
+    ),
+}
+
+
 @dataclasses.dataclass(frozen=True)
 class SpatialMappingCNN:
     """Per-view conv + orient + tile into the BEV grid
@@ -39,9 +84,12 @@ class SpatialMappingCNN:
     View index order on input is the dataset order FL,F,FR,BL,B,BR.
     """
 
+    geometry: str = "reference"
+
     def _convs(self):
-        side = dict(kernel_size=(1, 50), stride=(3, 2), padding=0)
-        axial = dict(kernel_size=(52, 1), stride=(3, 2), padding=1)
+        g = GEOMETRIES[self.geometry]
+        side = g["side"]
+        axial = g["axial"]
         return {
             "fl_conv": L.Conv2d(3, 32, **side),
             "fr_conv": L.Conv2d(3, 32, **side),
@@ -82,15 +130,21 @@ class BoxesMergingCNN:
     """Resample SSL conv features to the BEV grid, concat, upsample to 800x800
     sigmoid (/root/reference/src/bounding_box_model/spatial_bb/components.py:80-119)."""
 
+    geometry: str = "reference"
+
+    @property
+    def raster_size(self) -> int:
+        return GEOMETRIES[self.geometry]["boxes_raster"]
+
     def _layers(self):
-        return {
-            "ss_conv": L.Conv2d(32, 32, (1, 24), (1, 7), 0),
+        g = GEOMETRIES[self.geometry]
+        layers = {
+            "ss_conv": L.Conv2d(32, 32, **g["ss"]),
             "ss_deconv": L.ConvTranspose2d(32, 32, 2, 2, 0),
-            "up_conv_1": L.ConvTranspose2d(64, 32, 8, 1, 0, 0, 8),
-            "up_conv_2": L.ConvTranspose2d(32, 16, 8, 1, 0, 0, 8),
-            "up_conv_3": L.ConvTranspose2d(16, 8, 6, 1, 0, 2, 6),
-            "up_conv_4": L.ConvTranspose2d(8, 1, 2, 2, 0),
         }
+        for i, (cin, cout, k, s, p, op, d) in enumerate(g["boxes_up"], start=1):
+            layers[f"up_conv_{i}"] = L.ConvTranspose2d(cin, cout, k, s, p, op, d)
+        return layers
 
     def init(self, key):
         ls = self._layers()
@@ -103,10 +157,10 @@ class BoxesMergingCNN:
         x = relu(ls["ss_conv"].apply(params["ss_conv"], ssr))
         x = relu(ls["ss_deconv"].apply(params["ss_deconv"], x))
         x = jnp.concatenate([x, spatial_map], axis=-1)
-        x = relu(ls["up_conv_1"].apply(params["up_conv_1"], x))
-        x = relu(ls["up_conv_2"].apply(params["up_conv_2"], x))
-        x = relu(ls["up_conv_3"].apply(params["up_conv_3"], x))
-        x = jax.nn.sigmoid(ls["up_conv_4"].apply(params["up_conv_4"], x))
+        n_up = sum(1 for n in ls if n.startswith("up_conv_"))
+        for i in range(1, n_up):
+            x = relu(ls[f"up_conv_{i}"].apply(params[f"up_conv_{i}"], x))
+        x = jax.nn.sigmoid(ls[f"up_conv_{n_up}"].apply(params[f"up_conv_{n_up}"], x))
         return x, state
 
 
@@ -115,18 +169,23 @@ class RoadMapBoxesMergingCNN:
     """As BoxesMergingCNN plus a road-map branch; 96-channel merge, five
     upsample stages (/root/reference/src/bounding_box_model/spatial_bb/components.py:122-170)."""
 
+    geometry: str = "reference"
+
+    @property
+    def raster_size(self) -> int:
+        return GEOMETRIES[self.geometry]["rm_raster"]
+
     def _layers(self):
-        return {
-            "ss_conv": L.Conv2d(32, 32, (1, 24), (1, 7), 0),
+        g = GEOMETRIES[self.geometry]
+        layers = {
+            "ss_conv": L.Conv2d(32, 32, **g["ss"]),
             "ss_deconv": L.ConvTranspose2d(32, 32, 2, 2, 0),
-            "rm_conv_1": L.Conv2d(1, 32, 7, 3, 1, 3),
+            "rm_conv_1": L.Conv2d(1, 32, **g["rm_conv_1"]),
             "rm_conv_2": L.Conv2d(32, 32, 3, 1, 0, 3),
-            "up_conv_1": L.ConvTranspose2d(96, 64, 7, 1, 0, 0, 7),
-            "up_conv_2": L.ConvTranspose2d(64, 32, 7, 1, 0, 0, 7),
-            "up_conv_3": L.ConvTranspose2d(32, 16, 7, 1, 0, 0, 7),
-            "up_conv_4": L.ConvTranspose2d(16, 8, 7, 1, 0, 0, 3),
-            "up_conv_5": L.ConvTranspose2d(8, 1, 2, 2, 0),
         }
+        for i, (cin, cout, k, s, p, op, d) in enumerate(g["rm_up"], start=1):
+            layers[f"up_conv_{i}"] = L.ConvTranspose2d(cin, cout, k, s, p, op, d)
+        return layers
 
     def init(self, key):
         ls = self._layers()
@@ -141,7 +200,8 @@ class RoadMapBoxesMergingCNN:
         r = relu(ls["rm_conv_1"].apply(params["rm_conv_1"], rm))
         r = relu(ls["rm_conv_2"].apply(params["rm_conv_2"], r))
         x = jnp.concatenate([x, spatial_map, r], axis=-1)
-        for i in (1, 2, 3, 4):
+        n_up = sum(1 for n in ls if n.startswith("up_conv_"))
+        for i in range(1, n_up):
             x = relu(ls[f"up_conv_{i}"].apply(params[f"up_conv_{i}"], x))
-        x = jax.nn.sigmoid(ls["up_conv_5"].apply(params["up_conv_5"], x))
+        x = jax.nn.sigmoid(ls[f"up_conv_{n_up}"].apply(params[f"up_conv_{n_up}"], x))
         return x, state

@@ -56,8 +56,12 @@ def boxes_to_binary_map(boxes_m, valid=None, size: int = MAP_SIZE):
     half-plane tests against a sign convention derived from the quad's own
     orientation. vmapped over boxes, OR-reduced, fully fixed-shape.
     """
-    pts_x = boxes_m[:, 0, :] * 10.0 + 400.0  # [N, 4] in corner order fl,fr,bl,br
-    pts_y = boxes_m[:, 1, :] * 10.0 + 400.0
+    # px = m * 10 + 400 at the reference's 800-px raster; other sizes keep the
+    # same (-40, 40) m field of view at proportional resolution.
+    scale = size * 10.0 / MAP_SIZE
+    offset = size / 2.0
+    pts_x = boxes_m[:, 0, :] * scale + offset  # [N, 4] in corner order fl,fr,bl,br
+    pts_y = boxes_m[:, 1, :] * scale + offset
     order = jnp.array([0, 1, 3, 2])  # -> fl, fr, br, bl (convex ring)
     px = pts_x[:, order]
     py = pts_y[:, order]

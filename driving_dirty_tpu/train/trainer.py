@@ -421,15 +421,19 @@ class Trainer:
         task_dir = os.path.dirname(run_dir)
         link = os.path.join(task_dir, name)
         try:
-            if os.path.islink(link):
-                os.remove(link)
-            elif os.path.exists(link):
+            if os.path.exists(link) and not os.path.islink(link):
                 # a REGULAR file here is a pre-versioning checkpoint (the
                 # old layout wrote <task>/last.ckpt directly); deleting it
                 # would destroy a prior run's only checkpoint — leave it and
                 # skip the convenience link (ADVICE r3, medium)
                 return
-            os.symlink(os.path.join(os.path.basename(run_dir), name), link)
+            # atomic swap: create under a temp name, os.replace over the
+            # link, so concurrent readers never see a missing path (ADVICE r4)
+            tmp = os.path.join(task_dir, f".{name}.tmp{os.getpid()}")
+            if os.path.lexists(tmp):
+                os.remove(tmp)
+            os.symlink(os.path.join(os.path.basename(run_dir), name), tmp)
+            os.replace(tmp, link)
         except OSError:
             pass  # convenience only; the versioned path is authoritative
 
@@ -515,14 +519,21 @@ class Trainer:
             if extra.get("rng") is not None:
                 rng = jnp.asarray(np.asarray(extra["rng"]), dtype=jnp.uint32)
 
+        # optional per-STEP program variants (e.g. faster_rcnn's
+        # exact-top-k warmup): the task returns a hashable key per global
+        # step and swaps its own trace-time state; each (freeze-sig,
+        # variant) pair compiles once
+        variant_fn = getattr(task, "step_variant", None)
+
         for epoch in range(start_epoch, self.max_epochs):
             task.current_epoch = epoch
             bool_mask = task.freeze_mask(params, epoch)
             sig = None if bool_mask is None else tuple(
                 bool(b) for b in jax.tree.leaves(bool_mask))
-            train_step = step_cache.get(sig)
+            variant = variant_fn(self.global_step) if variant_fn else None
+            train_step = step_cache.get((sig, variant))
             if train_step is None:
-                train_step = step_cache[sig] = self._make_train_step(task, tx, bool_mask)
+                train_step = step_cache[(sig, variant)] = self._make_train_step(task, tx, bool_mask)
 
             # ---- train epoch ----
             loader = task.train_loader()
@@ -559,6 +570,14 @@ class Trainer:
                     and batch_offset + batch_idx >= self.limit_train_batches
                 ):
                     break
+                if variant_fn is not None:
+                    v = variant_fn(self.global_step)
+                    if v != variant:
+                        variant = v
+                        train_step = step_cache.get((sig, variant))
+                        if train_step is None:
+                            train_step = step_cache[(sig, variant)] = (
+                                self._make_train_step(task, tx, bool_mask))
                 rng, step_rng = jax.random.split(rng)
                 params, opt_state, state, metrics = train_step(
                     params, opt_state, state, batch, step_rng

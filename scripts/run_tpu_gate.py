@@ -28,6 +28,7 @@ import argparse
 import glob
 import json
 import os
+import re
 import shutil
 import sys
 import time
@@ -67,7 +68,12 @@ def run_fit(task, epochs, args, out_name=None):
 def find_ae_ckpt(args):
     """Latest AE checkpoint from a prior gate-1 run (for --stages rm alone)."""
     for name in ("best.ckpt", "last.ckpt"):
-        paths = sorted(glob.glob(os.path.join(args.logs, "basic_ae", "version_*", name)))
+        paths = sorted(
+            glob.glob(os.path.join(args.logs, "basic_ae", "version_*", name)),
+            # numeric version order: lexicographic puts version_9 above
+            # version_10 (ADVICE r4)
+            key=lambda p: int(re.search(r"version_(\d+)", p).group(1)),
+        )
         if paths:
             return paths[-1]
     raise SystemExit("no basic_ae checkpoint under --logs; run the ae stage first")

@@ -29,17 +29,13 @@ assert jax.devices()[0].platform == "cpu"
 
 # Persistent XLA compilation cache: repeat suite runs skip the expensive
 # CPU compiles (the spatial/detection model tests dominate otherwise).
-# Keyed by the host CPU's feature flags: XLA:CPU AOT results baked for
-# another machine's features SIGILL/abort on execution (the cache key does
-# not cover the target machine, observed when the build host changes).
-import hashlib  # noqa: E402
+# Keyed by jaxlib version + CPU model + flags (cli/common.cache_fingerprint):
+# XLA:CPU AOT results baked for another machine's target features SIGILL on
+# execution, and the target tuning features follow the CPU *model*, not the
+# raw flags (observed across a host change, MULTICHIP_r04).
+from driving_dirty_tpu.cli.common import cache_fingerprint  # noqa: E402
 
-try:
-    with open("/proc/cpuinfo") as f:
-        _flags = next((l for l in f if l.startswith("flags")), "")
-except OSError:
-    _flags = ""
-_fp = hashlib.sha1(_flags.encode()).hexdigest()[:10]
-jax.config.update("jax_compilation_cache_dir", f"/tmp/dd_jax_cache_cpu_{_fp}")
+jax.config.update("jax_compilation_cache_dir",
+                  f"/tmp/dd_jax_cache_cpu_{cache_fingerprint()}")
 jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
