@@ -51,13 +51,21 @@ _LAYOUT_TILES = (
     (2, 532, 268, 400, 400, "flip"),  # CAM_FRONT_RIGHT
 )
 
-# distinct RGB per category 1..8 (0 = background, never painted)
+# distinct RGB per category 1..8 (0 = background, never painted by default)
 _CATEGORY_COLORS = np.array(
     [
         [1.0, 0.1, 0.1], [0.1, 1.0, 0.1], [0.1, 0.1, 1.0], [1.0, 1.0, 0.1],
         [1.0, 0.1, 1.0], [0.1, 1.0, 1.0], [1.0, 1.0, 1.0], [1.0, 0.6, 0.1],
     ]
 )
+# color for category 0 when paint_cat0 generates it (the label_offset A/B
+# needs category-0 GT boxes to measure the reference's category-0/background
+# collision — bb_fast_rcnn.py:69,172-188). Saturated pink: as separable from
+# the tint/gradient background as the 8 category colors (a first attempt
+# used mid-range brown [0.55, 0.27, 0.07], which is inside the background
+# color distribution — BOTH A/B arms stalled because ~1/9 of boxes carried
+# no visual evidence).
+_CAT0_COLOR = np.array([1.0, 0.3, 0.6])
 
 
 def _invert_orient(orient, oy0, oy1, ox0, ox1):
@@ -100,7 +108,7 @@ def paint_layout_rect(views, x0, y0, x1, y1, color, size=800):
 
 def _make_scene(root, scene_id, n_samples, rng, labeled, rows, fixed_road=False,
                 structured=False, paint_boxes=False, road_from_tint=False,
-                road_noise=None, paint_scale=(30.0, 150.0)):
+                road_noise=None, paint_scale=(30.0, 150.0), paint_cat0=False):
     for s in range(n_samples):
         d = os.path.join(root, f"scene_{scene_id}", f"sample_{s}")
         os.makedirs(d, exist_ok=True)
@@ -198,7 +206,8 @@ def _make_scene(root, scene_id, n_samples, rng, labeled, rows, fixed_road=False,
                 # (reference quirk, bb_fast_rcnn.py:172-188) and eval drops
                 # class 0 — a category-0 GT box is undetectable by design, so
                 # a learnability gate must not generate any
-                category = int(rng.randint(1, 9)) if paint_boxes else int(rng.randint(0, 9))
+                lo = 0 if (paint_boxes and paint_cat0) else 1
+                category = int(rng.randint(lo, 9)) if paint_boxes else int(rng.randint(0, 9))
                 rows.append(
                     dict(
                         scene=scene_id,
@@ -217,9 +226,10 @@ def _make_scene(root, scene_id, n_samples, rng, labeled, rows, fixed_road=False,
                     # trunk's receptive field, with class signal
                     px = pts[0] * 10.0 + 400.0
                     py = -pts[1] * 10.0 + 400.0  # corners_to_aabb y-flip
+                    color = (_CAT0_COLOR if category == 0
+                             else _CATEGORY_COLORS[category - 1])
                     paint_layout_rect(
-                        views, px.min(), py.min(), px.max(), py.max(),
-                        _CATEGORY_COLORS[category - 1],
+                        views, px.min(), py.min(), px.max(), py.max(), color,
                     )
         for name, img in imgs.items():
             _save_jpeg(os.path.join(d, name), img)
@@ -227,7 +237,7 @@ def _make_scene(root, scene_id, n_samples, rng, labeled, rows, fixed_road=False,
 
 def generate(out, scenes=2, samples=4, labeled_scenes=2, seed=0, fixed_road=False,
              structured=False, paint_boxes=False, road_from_tint=False,
-             road_noise=None, paint_scale=(30.0, 150.0)):
+             road_noise=None, paint_scale=(30.0, 150.0), paint_cat0=False):
     import pandas as pd
 
     rng = np.random.RandomState(seed)
@@ -240,7 +250,8 @@ def generate(out, scenes=2, samples=4, labeled_scenes=2, seed=0, fixed_road=Fals
         _make_scene(out, 106 + i, samples, rng, labeled=True, rows=rows,
                     fixed_road=fixed_road, structured=structured,
                     paint_boxes=paint_boxes, road_from_tint=road_from_tint,
-                    road_noise=road_noise, paint_scale=paint_scale)
+                    road_noise=road_noise, paint_scale=paint_scale,
+                    paint_cat0=paint_cat0)
     pd.DataFrame(rows).to_csv(os.path.join(out, "annotation.csv"), index=False)
     return out
 

@@ -79,6 +79,7 @@ class BBFasterRCNN(Int8TrunkMixin, LabeledDataMixin, Task):
             # `offset` classes and shifts labels in/out at the task boundary
             # (measured A/B: artifacts/det_label_offset_ab.json).
             num_classes=9 + hp(h, "label_offset", 0),
+            nms_fixed_depth=hp(h, "nms_fixed_depth", 0),
         )
         self.label_offset = hp(h, "label_offset", 0)
         self.head = FasterRCNNHead(self.cfg)
@@ -403,6 +404,11 @@ class BBFasterRCNN(Int8TrunkMixin, LabeledDataMixin, Task):
                             help="use exact top-k proposal selection for the "
                                  "first N optimizer steps (cold-start takeoff "
                                  "de-risking; 0 disables)")
+        parser.add_argument("--nms_fixed_depth", type=int, default=0,
+                            help="N > 0: straight-line NMS with N suppression "
+                                 "applications instead of the convergence "
+                                 "while-loop (eval speed knob; exact for "
+                                 "dependency chains < N)")
         parser.add_argument("--label_offset", type=int, default=0,
                             help="shift category ids by N for the classifier "
                                  "(1 = torchvision convention: background=0, "

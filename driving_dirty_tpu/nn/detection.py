@@ -75,6 +75,11 @@ class DetectionConfig:
     # score cutoff, which post-NMS top-1000 makes irrelevant in practice.
     # exact_topk=True restores bitwise torchvision-style selection.
     exact_topk: bool = False
+    # NMS implementation: 0 = convergence-checked while loop; N > 0 = N
+    # straight-line suppression applications (no loop control overhead;
+    # exact greedy for dependency chains < N — see ops.detection.nms_fixed
+    # fixed_depth and scripts/probe_nms_depth.py for the TPU measurement)
+    nms_fixed_depth: int = 0
     mlp_dim: int = 1024
     # Extra dilated 3x3 convs in the RPN head, applied after the standard
     # rpn_conv. Default EMPTY = torchvision-parity single-conv head. The
@@ -221,7 +226,9 @@ class FasterRCNNHead:
             # drop degenerate boxes (torchvision removes min_size < 1e-3)
             wh_ok = (boxes[:, 2] - boxes[:, 0] > 1e-3) & (boxes[:, 3] - boxes[:, 1] > 1e-3)
             score = jnp.where(wh_ok, score, NEG_INF)
-            keep_idx, keep_valid = det.nms_fixed(boxes, score, cfg.rpn_nms_thresh, cfg.rpn_post_nms_top_n)
+            keep_idx, keep_valid = det.nms_fixed(
+                boxes, score, cfg.rpn_nms_thresh, cfg.rpn_post_nms_top_n,
+                fixed_depth=cfg.nms_fixed_depth)
             return boxes[keep_idx], keep_valid, score[keep_idx]
 
         return jax.vmap(per_image)(objectness, deltas)
@@ -402,7 +409,8 @@ class FasterRCNNHead:
             # batched (per-class) NMS via coordinate offsetting
             offset = cand_labels.astype(jnp.float32)[:, None] * (cfg.image_size + 2.0)
             keep_idx, keep_valid = det.nms_fixed(
-                cand_boxes + offset, cand_scores, cfg.box_nms_thresh, cfg.box_detections_per_img
+                cand_boxes + offset, cand_scores, cfg.box_nms_thresh,
+                cfg.box_detections_per_img, fixed_depth=cfg.nms_fixed_depth
             )
             return (
                 cand_boxes[keep_idx],

@@ -98,3 +98,47 @@ def test_cap_is_identity_on_converged_inputs(seed):
     b = jax.jit(lambda b_, s: nms_fixed(b_, s, THR, k, max_iters=k))(boxes, scores)
     np.testing.assert_array_equal(np.asarray(a[0]), np.asarray(b[0]))
     np.testing.assert_array_equal(np.asarray(a[1]), np.asarray(b[1]))
+
+
+def test_fixed_depth_matches_while_on_random_inputs():
+    """fixed_depth (straight-line) NMS == the convergence while-loop on
+    random score distributions (chain depth << 16 there); the eval-speed
+    knob must not change results in the non-adversarial regime."""
+    import numpy as np
+
+    rng = np.random.RandomState(0)
+    k = 256
+    ctr = rng.rand(k, 2) * 700 + 50
+    wh = rng.rand(k, 2) * 80 + 10
+    boxes = jnp.asarray(
+        np.concatenate([ctr - wh / 2, ctr + wh / 2], axis=1), jnp.float32
+    )
+    scores = jnp.asarray(rng.rand(k), jnp.float32)
+    a_idx, a_val = jax.jit(lambda b, s: nms_fixed(b, s, THR, 100))(boxes, scores)
+    b_idx, b_val = jax.jit(
+        lambda b, s: nms_fixed(b, s, THR, 100, fixed_depth=16)
+    )(boxes, scores)
+    assert np.array_equal(np.asarray(a_idx), np.asarray(b_idx))
+    assert np.array_equal(np.asarray(a_val), np.asarray(b_val))
+
+
+def test_fixed_depth_adversarial_is_antichain():
+    """Under the adversarial chain, fixed_depth output is still a valid
+    antichain (no two kept boxes overlap > thr)."""
+    import numpy as np
+
+    k = 64
+    boxes, scores = _chain(k)
+    idx, val = jax.jit(lambda b, s: nms_fixed(b, s, THR, k, fixed_depth=8))(
+        boxes, scores
+    )
+    kept = np.asarray(idx)[np.asarray(val)]
+    bx = np.asarray(boxes)[kept]
+    for i in range(len(bx)):
+        for j in range(i + 1, len(bx)):
+            x0 = max(bx[i, 0], bx[j, 0]); y0 = max(bx[i, 1], bx[j, 1])
+            x1 = min(bx[i, 2], bx[j, 2]); y1 = min(bx[i, 3], bx[j, 3])
+            inter = max(0, x1 - x0) * max(0, y1 - y0)
+            ai = (bx[i, 2] - bx[i, 0]) * (bx[i, 3] - bx[i, 1])
+            aj = (bx[j, 2] - bx[j, 0]) * (bx[j, 3] - bx[j, 1])
+            assert inter / (ai + aj - inter) <= THR
