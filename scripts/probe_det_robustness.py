@@ -200,31 +200,57 @@ def mode_takeoff(args):
 
 
 def mode_label_offset(args):
+    """Multi-seed A/B: a single run per arm cannot separate the label
+    convention's effect from the documented from-scratch bistability
+    (docs/DETECTION_PARITY.md divergence 1 — the first single-seed run of
+    this probe saw offset1 hit exactly that collapse: RPN recall, which is
+    label-agnostic, fell 1.0 -> 0.27, implicating trunk instability, not
+    the classifier target convention). Each arm therefore trains
+    --ab_seeds independent (init, data-order) streams; per-arm endpoint =
+    median over seeds, with every seed recorded."""
     data = ensure_data("/tmp/dd_cat0_tpu", paint_cat0=True)
     out = {"mode": "label_offset", "steps": args.steps,
+           "seeds_per_arm": args.ab_seeds,
            "dataset": "painted boxes INCLUDING category 0 (paint_cat0)",
            "arms": {}}
+
+    def med(xs):
+        xs = sorted(xs)
+        n = len(xs)
+        return xs[n // 2] if n % 2 else 0.5 * (xs[n // 2 - 1] + xs[n // 2])
+
     for offset in (0, 1):
         name = f"offset{offset}"
-        print(f"== arm {name} ==", flush=True)
-        task = build_task(data, label_offset=offset)
-        r = train_arm(task, args.steps, 40_000, 0, tag=name)
-        params, state, vb = r.pop("_carry")
-        r["recall_by_category"] = cat_recall(task, params, state, vb)
-        print(f"  [{name}] {r['recall_by_category']}", flush=True)
-        out["arms"][name] = r
-    a0, a1 = out["arms"]["offset0"], out["arms"]["offset1"]
-    r0, r1 = a0["recall_by_category"], a1["recall_by_category"]
-    out["delta"] = {
-        "val_ats": a1["val_ats"] - a0["val_ats"],
-        "val_cls_acc": a1["val_cls_acc"] - a0["val_cls_acc"],
-        "cat0_recall": (r1["cat0_recall"] or 0) - (r0["cat0_recall"] or 0),
-        "other_recall": (r1["other_recall"] or 0) - (r0["other_recall"] or 0),
-    }
-    print(f"label_offset A/B: ats {a0['val_ats']:.4f} -> {a1['val_ats']:.4f}"
-          f" (delta {out['delta']['val_ats']:+.4f}); cls_acc "
-          f"{a0['val_cls_acc']:.4f} -> {a1['val_cls_acc']:.4f} "
-          f"(delta {out['delta']['val_cls_acc']:+.4f})", flush=True)
+        runs = []
+        for seed in range(args.ab_seeds):
+            tag = f"{name}/seed{seed}"
+            print(f"== arm {tag} ==", flush=True)
+            task = build_task(data, label_offset=offset)
+            r = train_arm(task, args.steps, 40_000 + 10_000 * seed, seed,
+                          tag=tag)
+            params, state, vb = r.pop("_carry")
+            r["recall_by_category"] = cat_recall(task, params, state, vb)
+            print(f"  [{tag}] {r['recall_by_category']}", flush=True)
+            runs.append(r)
+        agg = {
+            "val_ats": med([r["val_ats"] for r in runs]),
+            "val_cls_acc": med([r["val_cls_acc"] for r in runs]),
+            "val_rpn_recall": med([r["val_rpn_recall"] for r in runs]),
+            "cat0_recall": med([r["recall_by_category"]["cat0_recall"] or 0.0
+                                for r in runs]),
+            "other_recall": med([r["recall_by_category"]["other_recall"] or 0.0
+                                 for r in runs]),
+        }
+        out["arms"][name] = {"median": agg, "seeds": runs}
+    a0 = out["arms"]["offset0"]["median"]
+    a1 = out["arms"]["offset1"]["median"]
+    out["delta_median"] = {k: a1[k] - a0[k] for k in a0}
+    print("label_offset A/B (median over "
+          f"{args.ab_seeds} seeds): ats {a0['val_ats']:.4f} -> "
+          f"{a1['val_ats']:.4f} (delta {out['delta_median']['val_ats']:+.4f});"
+          f" cls_acc {a0['val_cls_acc']:.4f} -> {a1['val_cls_acc']:.4f}; "
+          f"cat0_recall {a0['cat0_recall']:.4f} -> {a1['cat0_recall']:.4f}",
+          flush=True)
     return out, "artifacts/det_label_offset_ab.json"
 
 
@@ -234,6 +260,8 @@ def main():
                     required=True)
     ap.add_argument("--steps", type=int, default=800)
     ap.add_argument("--ats_floor", type=float, default=0.05)
+    ap.add_argument("--ab_seeds", type=int, default=3,
+                    help="independent seeds per arm in --mode label_offset")
     args = ap.parse_args()
 
     import jax
