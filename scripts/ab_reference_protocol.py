@@ -284,6 +284,9 @@ def main():
     ap.add_argument("--ae_lr", type=float, default=1e-3)
     ap.add_argument("--rm_lr", type=float, default=1e-2)
     ap.add_argument("--arms", default="torch,jax")
+    ap.add_argument("--learned_floor", type=float, default=0.10,
+                    help="both-arms BEST val TS must exceed this (gate-2 "
+                         "band floor; scripts/run_tpu_gate.py)")
     args = ap.parse_args()
 
     def log(msg):
@@ -347,9 +350,12 @@ def main():
             # band on BEST TS separates "same protocol learned the same
             # task comparably" from "one arm failed to learn"
             "tolerance_best": 0.15,
-            "both_learned": bool(best_t > 0.03 and best_j > 0.03),
+            "learned_floor": args.learned_floor,
+            "both_learned": bool(best_t > args.learned_floor
+                                 and best_j > args.learned_floor),
             "ok": bool(abs(best_t - best_j) <= 0.15
-                       and best_t > 0.03 and best_j > 0.03),
+                       and best_t > args.learned_floor
+                       and best_j > args.learned_floor),
         }
     result["wall_seconds"] = time.time() - t0
     os.makedirs(os.path.dirname(args.out), exist_ok=True)
