@@ -28,6 +28,14 @@ def cache_fingerprint() -> str:
     baked on another machine load with cpu_aot_loader SIGILL warnings
     (MULTICHIP_r04). Key by jaxlib version + CPU model name + flags: any of
     those changing yields a fresh directory and a clean cold compile.
+
+    Note (round 5, observed): even SAME-host reloads can print
+    cpu_aot_loader "feature not supported" warnings for XLA's own tuning
+    pseudo-features (+prefer-no-gather/+prefer-no-scatter) — LLVM host
+    detection never reports those strings, so the loader flags entries this
+    very host wrote. When the rest of the compile-feature list matches the
+    host list, the warning is benign loader noise, not cross-machine reuse;
+    the fingerprint above is what actually guards against the latter.
     """
     import hashlib
 

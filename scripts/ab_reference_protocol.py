@@ -284,6 +284,8 @@ def main():
     ap.add_argument("--ae_lr", type=float, default=1e-3)
     ap.add_argument("--rm_lr", type=float, default=1e-2)
     ap.add_argument("--arms", default="torch,jax")
+    ap.add_argument("--jax_platform", choices=["cpu", "default"],
+                    default="cpu")
     ap.add_argument("--learned_floor", type=float, default=0.10,
                     help="both-arms BEST val TS must exceed this (gate-2 "
                          "band floor; scripts/run_tpu_gate.py)")
@@ -292,10 +294,18 @@ def main():
     def log(msg):
         print(msg, flush=True)
 
-    os.environ.setdefault("JAX_PLATFORMS", "cpu")
+    # --jax_platform cpu (default) pins the jax arm to the same host CPU the
+    # torch arm uses; 'default' leaves platform discovery alone so the jax
+    # arm runs on the real TPU (the framework's product path — at gate scale
+    # the CPU jax arm takes hours, and the claim under test is
+    # distributional task outcome, not numerics-on-identical-silicon; the
+    # artifact records the platform per arm).
+    if args.jax_platform == "cpu":
+        os.environ.setdefault("JAX_PLATFORMS", "cpu")
     import jax
 
-    jax.config.update("jax_platforms", "cpu")
+    if args.jax_platform == "cpu":
+        jax.config.update("jax_platforms", "cpu")
     from driving_dirty_tpu.cli.common import enable_compilation_cache
     from driving_dirty_tpu.data.synthetic import generate
 
@@ -333,6 +343,7 @@ def main():
         result["jax"] = run_jax_arm(args.data, args.logs, hp, args.scenes,
                                     args.samples, log)
         result["jax"]["wall_seconds"] = time.time() - t
+        result["jax"]["backend"] = jax.default_backend()
 
     if "torch" in result and "jax" in result:
         ts_t = result["torch"]["rm"]["val_ts"][-1]
